@@ -2,10 +2,16 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware. Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# Force the CPU backend for tests. Note: the JAX_PLATFORMS env var is NOT
+# reliably honoured when a TPU plugin (axon) is installed; the config update
+# is. Must run before any jax computation.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
