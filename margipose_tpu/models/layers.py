@@ -1,0 +1,166 @@
+"""Flax building blocks with torch-matching semantics and param layout.
+
+Param naming mirrors the reference torch ``state_dict`` paths so checkpoint
+conversion is a mechanical rename + transpose (see
+``margipose_tpu.train.torch_import``). Conv kernels are HWIO; activations
+NHWC.
+
+Initialisation follows the reference ``init_parameters``
+(reference: src/margipose/nn_helpers.py:7-21): Kaiming-normal fan_out for
+convs, BN scale=1 / bias=0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from margipose_tpu.ops.convs import (
+    avg_pool2d,
+    conv2d,
+    conv2d_transpose,
+    max_pool2d,
+    relu,
+)
+
+IntPair = Union[int, Sequence[int]]
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def kaiming_fanout_init(fan_out_from: str = "out"):
+    """Kaiming-normal (fan_out, relu gain) matching torch
+    ``init.kaiming_normal_(w, 0, 'fan_out')``.
+
+    For HWIO conv kernels torch fan_out = O*kh*kw; for transposed-conv
+    kernels (torch layout (I, O, kh, kw)) torch computes fan_out from
+    size(0) = I, i.e. I*kh*kw.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        fan = (cout if fan_out_from == "out" else cin) * kh * kw
+        std = np.sqrt(2.0 / fan)
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class TorchConv(nn.Module):
+    """Conv2d with torch padding semantics. Param names: weight, bias."""
+
+    features: int
+    kernel_size: IntPair
+    stride: IntPair = 1
+    padding: IntPair = 0
+    dilation: IntPair = 1
+    use_bias: bool = True
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        w = self.param(
+            "weight", kaiming_fanout_init("out"), (kh, kw, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return conv2d(
+            x, w, b, stride=self.stride, padding=self.padding,
+            dilation=self.dilation, precision=self.precision,
+        )
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with torch semantics. The kernel is stored in
+    flipped-HWIO layout ready for the dilated forward conv."""
+
+    features: int
+    kernel_size: IntPair
+    stride: IntPair = 1
+    padding: IntPair = 0
+    output_padding: IntPair = 0
+    dilation: IntPair = 1
+    use_bias: bool = True
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        w = self.param(
+            "weight", kaiming_fanout_init("in"), (kh, kw, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return conv2d_transpose(
+            x, w, b, stride=self.stride, padding=self.padding,
+            output_padding=self.output_padding, dilation=self.dilation,
+            precision=self.precision,
+        )
+
+
+class BatchNorm(nn.Module):
+    """Channel-last batch norm with torch defaults (momentum 0.1, eps 1e-5).
+
+    Running stats live in the ``batch_stats`` collection. Set ``axis_name``
+    to sync batch statistics across a mesh axis under pjit/shard_map.
+    """
+
+    epsilon: float = 1e-5
+    momentum: float = 0.1
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name if train else None,
+        )(x)
+
+
+class BasicConv2d(nn.Module):
+    """Conv (no bias) + BN(eps=1e-3) + ReLU, as in pretrainedmodels
+    InceptionV4. Child names: conv, bn."""
+
+    features: int
+    kernel_size: IntPair
+    stride: IntPair = 1
+    padding: IntPair = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(
+            self.features, self.kernel_size, self.stride, self.padding,
+            use_bias=False, name="conv",
+        )(x)
+        x = BatchNorm(epsilon=1e-3, name="bn")(x, train)
+        return relu(x)
+
+
+class MaxPool(nn.Module):
+    kernel_size: IntPair
+    stride: IntPair = None
+    padding: IntPair = 0
+
+    def __call__(self, x):
+        return max_pool2d(x, self.kernel_size, self.stride, self.padding)
+
+
+class AvgPool(nn.Module):
+    kernel_size: IntPair
+    stride: IntPair = None
+    padding: IntPair = 0
+    count_include_pad: bool = True
+
+    def __call__(self, x):
+        return avg_pool2d(
+            x, self.kernel_size, self.stride, self.padding, self.count_include_pad
+        )

@@ -1,0 +1,364 @@
+"""MargiPose: multi-stage CNN predicting per-joint xy/zy/xz marginal heatmaps.
+
+TPU-native re-design of the reference architecture
+(reference: src/margipose/models/margipose_model.py:13-284). NHWC
+activations; heatmaps are transposed to [B, J, H, W] only at the tiny
+softmax/DSNT head. The forward pass is a pure function returning
+``(coords, ModelOutput)``; losses are pure functions over ``ModelOutput``
+(the reference stashes heatmaps on the module instead).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from margipose_tpu.models.inception import InceptionV4Stem
+from margipose_tpu.models.layers import BatchNorm, TorchConv, TorchConvTranspose
+from margipose_tpu.models.resnet import ResNetStem
+from margipose_tpu.ops.convs import relu
+from margipose_tpu.ops.dsnt import (
+    average_loss,
+    dsnt,
+    euclidean_losses,
+    flat_softmax,
+    js_reg_losses,
+)
+
+Default_MargiPose_Desc = {
+    'type': 'margipose',
+    'version': '6.0.1',
+    'settings': {
+        'n_stages': 4,
+        'axis_permutation': True,
+        'feature_extractor': 'inceptionv4',
+        'pixelwise_loss': 'jsd',
+    },
+}
+
+
+class ModelOutput(NamedTuple):
+    """Per-stage heatmaps in [B, J, H, W] layout (post flat_softmax)."""
+
+    xy_heatmaps: tuple
+    zy_heatmaps: tuple
+    xz_heatmaps: tuple
+
+
+class ResMain(nn.Module):
+    """Main branch of a residual block: conv_in, bn, relu, 3x3 conv, bn, relu.
+    Child names 0/1/3/4 match the torch Sequential indices
+    (reference: src/margipose/models/margipose_model.py:25-40)."""
+
+    chans: int
+    conv_in_kind: str  # 'regular' | 'down' | 'up'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.conv_in_kind == 'regular':
+            x = TorchConv(self.chans, 3, padding=1, use_bias=False, name='0')(x)
+        elif self.conv_in_kind == 'down':
+            x = TorchConv(self.chans, 3, padding=1, stride=2, use_bias=False, name='0')(x)
+        elif self.conv_in_kind == 'up':
+            x = TorchConvTranspose(self.chans, 3, stride=2, padding=1,
+                                   output_padding=1, use_bias=False, name='0')(x)
+        else:
+            raise ValueError(self.conv_in_kind)
+        x = BatchNorm(name='1')(x, train)
+        x = relu(x)
+        x = TorchConv(self.chans, 3, padding=1, use_bias=False, name='3')(x)
+        x = BatchNorm(name='4')(x, train)
+        return relu(x)
+
+
+class ResShortcut(nn.Module):
+    """Shortcut branch: 1x1 conv (maybe strided / transposed) + bn.
+    Child names 0/1 match torch Sequential indices."""
+
+    chans: int
+    conv_in_kind: str
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.conv_in_kind == 'regular':
+            x = TorchConv(self.chans, 1, use_bias=False, name='0')(x)
+        elif self.conv_in_kind == 'down':
+            x = TorchConv(self.chans, 1, stride=2, use_bias=False, name='0')(x)
+        elif self.conv_in_kind == 'up':
+            x = TorchConvTranspose(self.chans, 1, stride=2, output_padding=1,
+                                   use_bias=False, name='0')(x)
+        else:
+            raise ValueError(self.conv_in_kind)
+        return BatchNorm(name='1')(x, train)
+
+
+class ResidualBlock(nn.Module):
+    """main(x) + shortcut(x) (reference: src/margipose/models/margipose_model.py:25-40)."""
+
+    chans: int
+    conv_in_kind: str = 'regular'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return (
+            ResMain(self.chans, self.conv_in_kind, name='module')(x, train)
+            + ResShortcut(self.chans, self.conv_in_kind, name='shortcut')(x, train)
+        )
+
+
+def permute_axis_nhwc(x: jax.Array, mode: str) -> jax.Array:
+    """The marginal-heatmap axis-permutation trick in NHWC layout.
+
+    Channels are split into groups of ``size`` (the spatial side length) and
+    within each group the channel axis is swapped with width ('zy') or
+    height ('xz'), so the up-convolutions operate in the zy / xz plane
+    (reference: src/margipose/models/margipose_model.py:84-100).
+    """
+    if mode == 'xy':
+        return x
+    b, h, w, c = x.shape
+    size = w
+    assert c % size == 0, 'channel count must divide spatial size'
+    groups = c // size
+    x5 = x.reshape(b, h, w, groups, size)
+    if mode == 'zy':  # swap channel-in-group <-> width
+        x5 = jnp.transpose(x5, (0, 1, 4, 3, 2))
+    elif mode == 'xz':  # swap channel-in-group <-> height
+        x5 = jnp.transpose(x5, (0, 4, 2, 3, 1))
+    else:
+        raise ValueError(mode)
+    return x5.reshape(b, h, w, groups * size)
+
+
+class ColumnDown(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResidualBlock(128, 'regular', name='0')(x, train)
+        x = ResidualBlock(128, 'regular', name='1')(x, train)
+        x = ResidualBlock(192, 'down', name='2')(x, train)
+        x = ResidualBlock(192, 'regular', name='3')(x, train)
+        x = ResidualBlock(192, 'regular', name='4')(x, train)
+        return x
+
+
+class ColumnUp(nn.Module):
+    n_joints: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResidualBlock(192, 'regular', name='0')(x, train)
+        x = ResidualBlock(192, 'regular', name='1')(x, train)
+        x = ResidualBlock(128, 'up', name='2')(x, train)
+        x = ResidualBlock(128, 'regular', name='3')(x, train)
+        x = ResidualBlock(self.n_joints, 'regular', name='4')(x, train)
+        return x
+
+
+class HeatmapColumn(nn.Module):
+    """Hourglass column 128->192(/2)->128 with the axis-permuting middle
+    (reference: src/margipose/models/margipose_model.py:43-100)."""
+
+    n_joints: int
+    heatmap_space: str  # 'xy' | 'zy' | 'xz'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = ColumnDown(name='down_layers')(x, train)
+        mid = permute_axis_nhwc(mid, self.heatmap_space)
+        return ColumnUp(self.n_joints, name='up_layers')(mid, train)
+
+
+class HeatmapCombiner(nn.Module):
+    """1x1 conv combining the three per-joint heatmap sets into 128 features
+    (reference: src/margipose/models/margipose_model.py:142-150)."""
+
+    @nn.compact
+    def __call__(self, xy_hm, zy_hm, xz_hm):
+        # heatmaps arrive as [B, J, H, W]; combine in NHWC
+        cat = jnp.concatenate([xy_hm, zy_hm, xz_hm], axis=1)
+        cat = jnp.transpose(cat, (0, 2, 3, 1))
+        return TorchConv(128, 1, use_bias=False, name='conv')(cat)
+
+
+def make_feature_extractor(name: str) -> nn.Module:
+    if name == 'inceptionv4':
+        return InceptionV4Stem(name='stem')
+    if name in ('resnet18', 'resnet34', 'resnet50'):
+        return ResNetStem(variant=name, name='stem')
+    raise ValueError('unsupported image feature extractor model name: ' + name)
+
+
+class InceptionInCnn(nn.Module):
+    """InceptionV4 blocks 0-6 + Conv1x1(384->128) + BN + ReLU. Children are
+    named by the reference Sequential indices ('0'..'8')
+    (reference: src/margipose/models/margipose_model.py:103-118)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from margipose_tpu.models.inception import (
+            InceptionA,
+            Mixed3a,
+            Mixed4a,
+            Mixed5a,
+        )
+        from margipose_tpu.models.layers import BasicConv2d
+
+        x = BasicConv2d(32, 3, stride=2, padding=1, name='0')(x, train)
+        x = BasicConv2d(32, 3, stride=1, padding=1, name='1')(x, train)
+        x = BasicConv2d(64, 3, stride=1, padding=1, name='2')(x, train)
+        x = Mixed3a(name='3')(x, train)
+        x = Mixed4a(name='4')(x, train)
+        x = Mixed5a(name='5')(x, train)
+        x = InceptionA(name='6')(x, train)
+        x = TorchConv(128, 1, name='7')(x)
+        x = BatchNorm(name='8')(x, train)
+        return relu(x)
+
+
+class MargiPoseModelInner(nn.Module):
+    """(reference: src/margipose/models/margipose_model.py:153-200)"""
+
+    n_joints: int
+    n_stages: int
+    axis_permutation: bool
+    feature_extractor: str
+
+    def setup(self):
+        if self.feature_extractor == 'inceptionv4':
+            self.in_cnn = InceptionInCnn(name='in_cnn')
+        elif self.feature_extractor in ('resnet18', 'resnet34', 'resnet50'):
+            self.in_cnn = ResNetStem(variant=self.feature_extractor, name='in_cnn')
+        else:
+            raise ValueError(
+                'unsupported image feature extractor model name: ' + self.feature_extractor
+            )
+
+        zy = 'zy' if self.axis_permutation else 'xy'
+        xz = 'xz' if self.axis_permutation else 'xy'
+
+        self.xy_hm_cnns = [
+            HeatmapColumn(self.n_joints, 'xy', name=f'xy_hm_cnns_{t}')
+            for t in range(self.n_stages)
+        ]
+        self.zy_hm_cnns = [
+            HeatmapColumn(self.n_joints, zy, name=f'zy_hm_cnns_{t}')
+            for t in range(self.n_stages)
+        ]
+        self.xz_hm_cnns = [
+            HeatmapColumn(self.n_joints, xz, name=f'xz_hm_cnns_{t}')
+            for t in range(self.n_stages)
+        ]
+        self.hm_combiners = [
+            HeatmapCombiner(name=f'hm_combiners_{t}')
+            for t in range(self.n_stages - 1)
+        ]
+
+    def __call__(self, x, train: bool = False) -> ModelOutput:
+        features = self.in_cnn(x, train)
+
+        xy_heatmaps, zy_heatmaps, xz_heatmaps = [], [], []
+        inp = features
+        for t in range(self.n_stages):
+            if t > 0:
+                inp = features + self.hm_combiners[t - 1](
+                    xy_heatmaps[t - 1], zy_heatmaps[t - 1], xz_heatmaps[t - 1]
+                )
+
+            def head(column, inp):
+                hm = column(inp, train)  # [B, H, W, J]
+                hm = jnp.transpose(hm, (0, 3, 1, 2))  # [B, J, H, W]
+                # softmax in f32 for numerical stability under bf16 compute
+                return flat_softmax(hm.astype(jnp.float32))
+
+            xy_heatmaps.append(head(self.xy_hm_cnns[t], inp))
+            zy_heatmaps.append(head(self.zy_hm_cnns[t], inp))
+            xz_heatmaps.append(head(self.xz_hm_cnns[t], inp))
+
+        return ModelOutput(tuple(xy_heatmaps), tuple(zy_heatmaps), tuple(xz_heatmaps))
+
+
+def heatmaps_to_coords(xy_hm, zy_hm, xz_hm) -> jax.Array:
+    """[B, J, H, W] heatmaps -> [B, J, 3] coords; z is the mean of the two
+    z marginals (reference: src/margipose/models/margipose_model.py:254-261)."""
+    xy = dsnt(xy_hm)
+    zy = dsnt(zy_hm)
+    xz = dsnt(xz_hm)
+    z = 0.5 * (zy[..., 0:1] + xz[..., 1:2])
+    return jnp.concatenate([xy, z], axis=-1)
+
+
+class MargiPoseModel(nn.Module):
+    """(reference: src/margipose/models/margipose_model.py:203-267)"""
+
+    n_joints: int = 17
+    n_stages: int = 4
+    axis_permutation: bool = True
+    feature_extractor: str = 'inceptionv4'
+    pixelwise_loss: str | None = 'jsd'
+
+    def setup(self):
+        self.inner = MargiPoseModelInner(
+            self.n_joints, self.n_stages, self.axis_permutation,
+            self.feature_extractor, name='inner',
+        )
+
+    def __call__(self, x, train: bool = False):
+        out = self.inner(x, train)
+        xyz = heatmaps_to_coords(
+            out.xy_heatmaps[-1], out.zy_heatmaps[-1], out.xz_heatmaps[-1]
+        )
+        return xyz, out
+
+
+def _pixelwise_loss(kind, hm, target_coords, sigma=1.0):
+    if kind == 'jsd':
+        return js_reg_losses(hm, target_coords, sigma)
+    if kind is None:
+        return 0.0
+    raise ValueError(f'unrecognised pixelwise loss: {kind}')
+
+
+def margipose_2d_losses(out: ModelOutput, target: jax.Array,
+                        pixelwise_loss: str | None = 'jsd') -> jax.Array:
+    """Per-joint 2D losses summed over stages [B, J]
+    (reference: src/margipose/models/margipose_model.py:223-234)."""
+    target_xy = target[..., :2]
+    losses = 0.0
+    for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
+        losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
+        actual_xy = heatmaps_to_coords(xy_hm, zy_hm, xz_hm)[..., :2]
+        losses += euclidean_losses(actual_xy, target_xy)
+    return losses
+
+
+def margipose_3d_losses(out: ModelOutput, target: jax.Array,
+                        pixelwise_loss: str | None = 'jsd') -> jax.Array:
+    """Per-joint 3D losses summed over stages [B, J]
+    (reference: src/margipose/models/margipose_model.py:236-252)."""
+    target_xyz = target[..., :3]
+    target_xy = target_xyz[..., 0:2]
+    target_zy = jnp.stack([target_xyz[..., 2], target_xyz[..., 1]], axis=-1)
+    target_xz = jnp.stack([target_xyz[..., 0], target_xyz[..., 2]], axis=-1)
+    losses = 0.0
+    for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
+        losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
+        losses += _pixelwise_loss(pixelwise_loss, zy_hm, target_zy)
+        losses += _pixelwise_loss(pixelwise_loss, xz_hm, target_xz)
+        actual_xyz = heatmaps_to_coords(xy_hm, zy_hm, xz_hm)
+        losses += euclidean_losses(actual_xyz, target_xyz)
+    return losses
+
+
+def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.Array,
+                          valid_depth: jax.Array,
+                          pixelwise_loss: str | None = 'jsd') -> jax.Array:
+    """Vectorised per-example 3D/2D loss switch + masked mean — replaces the
+    reference's Python-level per-example branch
+    (reference: src/margipose/bin/train_3d.py:126-142)."""
+    losses_3d = margipose_3d_losses(out, target, pixelwise_loss)
+    losses_2d = margipose_2d_losses(out, target, pixelwise_loss)
+    losses = jnp.where(valid_depth[:, None] == 1, losses_3d, losses_2d)
+    return average_loss(losses, joint_mask)
