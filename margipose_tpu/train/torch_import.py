@@ -1,0 +1,174 @@
+"""Import reference PyTorch checkpoints into flax variable trees.
+
+The published reference checkpoints (``margipose-mpi3d.pth`` /
+``margipose-h36m.pth``, reference: README.md:113-118) are torch pickles
+``{state_dict, model_desc, train_datasets, optimizer, epoch}``
+(reference: src/margipose/bin/train_3d.py:374-382). This module converts the
+``state_dict`` to this framework's flax ``{params, batch_stats}`` tree:
+
+  * key mapping is driven by the *flax* tree (every leaf must be fed, so
+    missing/mistyped keys fail loudly);
+  * conv kernels transpose OIHW -> HWIO; transposed-conv kernels flip+swap
+    from torch's IOHW layout (disambiguated by structural patterns and
+    verified by shape);
+  * BatchNorm weight/bias/running_mean/running_var map to
+    scale/bias/mean/var.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+from margipose_tpu.ops.convs import (
+    torch_conv_weight_to_hwio,
+    torch_convtranspose_weight_to_hwio,
+)
+
+# Flax path components that exist only as implementation details.
+_DROP_COMPONENTS = {"BatchNorm_0"}
+
+# Leaf-name renames (flax -> torch).
+_LEAF_RENAMES = {
+    "scale": "weight",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+# Transposed-conv weight locations (margipose up-stride blocks; chatterbox
+# up path). Everything else with a 4D 'weight' is a regular conv.
+_TRANSPOSE_PATTERNS = [
+    re.compile(r"up_layers\.2\.(module|shortcut)\.0\.weight$"),
+    re.compile(r"(zy|xz)_hm_cnn\.up_convs\.0\.weight$"),
+    re.compile(r"(zy|xz)_hm_cnn\.up_convs\.[3-6]\.(conv1|resample\.0)\.weight$"),
+]
+
+
+def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
+    """Map a flax variable path to the reference torch state_dict key."""
+    comps = [c for c in path if c not in _DROP_COMPONENTS]
+    if comps:
+        comps[-1] = _LEAF_RENAMES.get(comps[-1], comps[-1])
+    out = []
+    for c in comps:
+        # list-attribute flattening: xy_hm_cnns_0 -> xy_hm_cnns.0
+        m = re.fullmatch(r"(xy_hm_cnns|zy_hm_cnns|xz_hm_cnns|hm_combiners)_(\d+)", c)
+        if m:
+            out.extend([m.group(1), m.group(2)])
+            continue
+        # chatterbox sequential indices: down_0 -> down_convs.0, up_3 -> up_convs.3
+        m = re.fullmatch(r"(down|up)_(\d+)", c)
+        if m:
+            out.extend([f"{m.group(1)}_convs", m.group(2)])
+            continue
+        # chatterbox resample shortcut: resample_0 -> resample.0
+        m = re.fullmatch(r"resample_(\d+)", c)
+        if m:
+            out.extend(["resample", m.group(2)])
+            continue
+        out.append(c)
+    return ".".join(out)
+
+
+def _is_transpose_conv(torch_key: str) -> bool:
+    return any(p.search(torch_key) for p in _TRANSPOSE_PATTERNS)
+
+
+def _flatten(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for c in path[:-1]:
+            node = node.setdefault(c, {})
+        node[path[-1]] = v
+    return tree
+
+
+def convert_state_dict(flax_variables, torch_state_dict) -> dict:
+    """Produce a flax variables dict matching ``flax_variables``' structure,
+    with values taken from ``torch_state_dict``.
+
+    Raises KeyError/ValueError on any missing key or shape mismatch, and
+    reports torch keys that were never consumed (except num_batches_tracked).
+    """
+    torch_state = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in torch_state_dict.items()
+    }
+    used = set()
+    out = {}
+    for collection, tree in flax_variables.items():
+        flat_out = {}
+        for path, value in _flatten(tree):
+            key = flax_path_to_torch_key(path)
+            if key not in torch_state:
+                raise KeyError(
+                    f"torch checkpoint is missing '{key}' "
+                    f"(for flax {collection}/{'/'.join(path)})"
+                )
+            w = torch_state[key]
+            used.add(key)
+            if w.ndim == 4 and path[-1] == "weight":
+                if _is_transpose_conv(key):
+                    w2 = torch_convtranspose_weight_to_hwio(w)
+                else:
+                    w2 = torch_conv_weight_to_hwio(w)
+                if w2.shape != value.shape:
+                    raise ValueError(
+                        f"shape mismatch for {key}: converted {w2.shape} "
+                        f"vs expected {value.shape}"
+                    )
+                w = w2
+            elif w.shape != value.shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: {w.shape} vs expected {value.shape}"
+                )
+            flat_out[path] = np.asarray(w, dtype=np.asarray(value).dtype)
+        out[collection] = _unflatten(flat_out)
+
+    leftovers = [
+        k for k in torch_state
+        if k not in used and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(f"unconsumed torch keys: {leftovers[:10]} (+{len(leftovers) - 10 if len(leftovers) > 10 else 0} more)")
+    return out
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pth checkpoint (torch pickle). Returns the raw dict
+    with ``state_dict`` / ``model_desc`` / etc."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def import_torch_model(path: str):
+    """Load a reference checkpoint and build (model, variables).
+
+    Returns (model, variables, model_desc). This is the converter required
+    for output-parity evaluation against the published checkpoints.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from margipose_tpu.models import create_model
+
+    details = load_torch_checkpoint(path)
+    model_desc = details["model_desc"]
+    model = create_model(model_desc)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+    )
+    variables = convert_state_dict(template, details["state_dict"])
+    return model, variables, model_desc
