@@ -1,0 +1,63 @@
+"""Dataset registry: name -> dataset instance.
+
+(reference: src/margipose/data/get_dataset.py:14-58). Adds the
+``synthetic[-N]`` names for hermetic runs without real data.
+"""
+
+from __future__ import annotations
+
+import re
+from os import environ, path
+
+from margipose_tpu.data.base import PoseDataset
+from margipose_tpu.data.h36m import H36MDataset
+from margipose_tpu.data.mixed import MixedPoseDataset
+from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+from margipose_tpu.data.mpii import MpiiDataset
+from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+Base_Data_Dir = environ.get('MARGIPOSE_BASE_DATA_DIR', '/datasets')
+
+
+def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
+    """Get a dataset instance by name (eg. ``mpi3d-train``)."""
+
+    mpi3d_match = re.fullmatch('mpi3d-(train|val|test|test-uncorrected)', dataset_name)
+    if mpi3d_match:
+        subset = mpi3d_match[1]
+        return MpiInf3dDataset(
+            path.join(Base_Data_Dir, 'mpi3d', subset),
+            data_specs=data_specs,
+            use_aug=(use_aug and not subset.startswith('test')),
+        )
+    if dataset_name == 'mpi3d-trainval':
+        return MixedPoseDataset([
+            get_dataset('mpi3d-train', data_specs, use_aug),
+            get_dataset('mpi3d-val', data_specs, use_aug),
+        ], balanced_sampling=False)
+
+    h36m_match = re.match('h36m-(trainval|test)', dataset_name)
+    if h36m_match:
+        subset = h36m_match[1]
+        return H36MDataset(
+            path.join(Base_Data_Dir, 'h36m'),
+            data_specs=data_specs, subset=subset,
+            use_aug=(use_aug and subset != 'test'),
+        )
+
+    mpii_match = re.match('mpii-(train|val|trainval|test)', dataset_name)
+    if mpii_match:
+        subset = mpii_match[1]
+        return MpiiDataset(
+            path.join(Base_Data_Dir, 'mpii'),
+            data_specs=data_specs, subset=subset,
+            use_aug=(use_aug and subset != 'test'),
+        )
+
+    synth_match = re.fullmatch(r'synthetic(?:-(\d+))?', dataset_name)
+    if synth_match:
+        length = int(synth_match[1]) if synth_match[1] else 256
+        return SyntheticPoseDataset(
+            data_specs=data_specs, length=length, use_aug=use_aug)
+
+    raise ValueError(f'unrecognised dataset: {dataset_name}')

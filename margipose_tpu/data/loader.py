@@ -1,0 +1,130 @@
+"""Batched data loading with threaded workers and device prefetch.
+
+Replaces the reference's multi-process torch DataLoader
+(reference: src/margipose/data/__init__.py:193-232) with a thread-pool
+pipeline producing fixed-shape NHWC numpy batches, plus a double-buffering
+device-prefetch stage that overlaps host->HBM transfer with TPU compute.
+"""
+
+from __future__ import annotations
+
+import itertools
+from concurrent.futures import ThreadPoolExecutor
+
+from margipose_tpu.data.base import SequentialSampler, collate
+
+# Batch fields shipped to the device; everything else stays host-side for
+# the eval/untransform paths.
+DEVICE_FIELDS = ('input', 'target', 'joint_mask', 'valid_depth')
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size=1, sampler=None, drop_last=False,
+                 num_workers=0, prefetch_batches=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler if sampler is not None else SequentialSampler(len(dataset))
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        it = iter(self.sampler)
+        while True:
+            chunk = list(itertools.islice(it, self.batch_size))
+            if not chunk:
+                return
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for chunk in self._index_batches():
+                yield collate([self.dataset[i] for i in chunk])
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            def load_batch(chunk):
+                return collate(list(pool.map(self.dataset.__getitem__, chunk)))
+
+            pending = []
+            batches = self._index_batches()
+            # Keep up to prefetch_batches batch-futures in flight.
+            submit = ThreadPoolExecutor(max_workers=self.prefetch_batches)
+            try:
+                for chunk in itertools.islice(batches, self.prefetch_batches):
+                    pending.append(submit.submit(load_batch, chunk))
+                for chunk in batches:
+                    out = pending.pop(0).result()
+                    pending.append(submit.submit(load_batch, chunk))
+                    yield out
+                for fut in pending:
+                    yield fut.result()
+            finally:
+                submit.shutdown(wait=False, cancel_futures=True)
+
+
+class UnbatchedDataLoader:
+    """Sequential loader where each dataset item is itself a (multicrop)
+    batch (reference: src/margipose/data/__init__.py:202-232)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        for i in range(len(self.dataset)):
+            yield self.dataset[i]
+
+
+def make_dataloader(dataset, batch_size=1, sampler=None, drop_last=False,
+                    num_workers=0):
+    return DataLoader(dataset, batch_size=batch_size, sampler=sampler,
+                      drop_last=drop_last, num_workers=num_workers)
+
+
+def make_unbatched_dataloader(dataset):
+    return UnbatchedDataLoader(dataset)
+
+
+def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):
+    """Move array fields of each batch onto device(s) ahead of consumption.
+
+    Yields batches whose ``fields`` are jax Arrays (placed with ``sharding``
+    if given) while keeping ``depth`` transfers in flight.
+    """
+    import jax
+    import numpy as np
+
+    def ship(batch):
+        out = dict(batch)
+        for f in fields:
+            if f in out:
+                arr = np.asarray(out[f])
+                out[f] = (
+                    jax.device_put(arr, sharding) if sharding is not None
+                    else jax.device_put(arr)
+                )
+        return out
+
+    queue = []
+    it = iter(batch_iter)
+    try:
+        for batch in itertools.islice(it, depth):
+            queue.append(ship(batch))
+        for batch in it:
+            out = queue.pop(0)
+            queue.append(ship(batch))
+            yield out
+        yield from queue
+    finally:
+        queue.clear()
