@@ -1,0 +1,121 @@
+"""Checkpoint save/restore.
+
+Native format: Orbax checkpoints holding the full train state — params,
+batch_stats, optimiser state, step, model_desc — fixing the reference's
+resume asymmetry, which saved but never restored optimiser state and epoch
+(reference: src/margipose/bin/train_3d.py:285-291,374-382).
+
+Reference .pth pickles are importable transparently via
+``margipose_tpu.train.torch_import`` — ``load_model`` dispatches on file
+type.
+"""
+
+from __future__ import annotations
+
+import json
+from os import path
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, state, model_desc: dict, extra: dict | None = None):
+    """Save train state + model_desc to ``ckpt_dir`` (overwrites)."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        ckptr.save(path.join(ckpt_dir, "state"), payload, force=True)
+    meta = {"model_desc": model_desc}
+    if extra:
+        meta.update(extra)
+    with open(path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def restore_checkpoint(ckpt_dir: str, template_state):
+    """Restore a full train state saved by ``save_checkpoint``."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {
+            "step": template_state.step,
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+        }
+        restored = ckptr.restore(path.join(ckpt_dir, "state"), payload)
+    return template_state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def load_meta(ckpt_dir: str) -> dict:
+    with open(path.join(ckpt_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def save_model(ckpt_dir: str, variables, model_desc: dict):
+    """Save inference weights only (params + batch_stats) — the analogue of
+    the reference's stripped export (reference: src/margipose/bin/export_model.py:44-50)."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.join(ckpt_dir, "variables"), dict(variables), force=True)
+    with open(path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump({"model_desc": model_desc}, f, indent=2, sort_keys=True)
+
+
+def load_model(model_file: str):
+    """Load a model + weights from either a margipose_tpu Orbax checkpoint
+    directory or a reference torch .pth file
+    (reference: src/margipose/models/__init__.py:30-34).
+
+    Returns (model, variables, model_desc).
+    """
+    import jax.numpy as jnp
+
+    from margipose_tpu.models import create_model
+
+    if path.isfile(model_file) and model_file.endswith((".pth", ".pt")):
+        from margipose_tpu.train.torch_import import import_torch_model
+
+        return import_torch_model(model_file)
+
+    meta = load_meta(model_file)
+    model_desc = meta["model_desc"]
+    model = create_model(model_desc)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        # saved either as full train state or variables-only
+        state_dir = path.join(model_file, "state")
+        var_dir = path.join(model_file, "variables")
+        if path.isdir(var_dir):
+            variables = ckptr.restore(var_dir, dict(template))
+        else:
+            payload = ckptr.restore(
+                state_dir,
+                {"step": np.zeros((), np.int32), "params": template["params"],
+                 "batch_stats": template["batch_stats"]},
+            )
+            variables = {"params": payload["params"],
+                         "batch_stats": payload["batch_stats"]}
+    return model, variables, model_desc

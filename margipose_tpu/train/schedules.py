@@ -1,0 +1,85 @@
+"""Optimiser schedules: 1cycle, multistep, and simple SGD/RMSProp.
+
+(reference: src/margipose/hyperparam_scheduler.py:6-42 and
+src/margipose/train_helpers.py:57-78). Hyperparameter interpolation is
+expressed as optax schedules so the whole update rule compiles into the
+pjit-ed train step — no per-batch host work.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def piecewise_interpolate_schedule(ts, values):
+    """Linear interpolation through (t, value) milestones, matching
+    ``np.interp`` / the reference HyperparameterScheduler.batch_step
+    (reference: src/margipose/hyperparam_scheduler.py:37-42)."""
+    ts = jnp.asarray(np.asarray(ts, dtype=np.float32))
+    values = jnp.asarray(np.asarray(values, dtype=np.float32))
+
+    def schedule(count):
+        count = jnp.asarray(count, dtype=jnp.float32)
+        return jnp.interp(count, ts, values)
+
+    return schedule
+
+
+def onecycle_schedules(max_iters, lr_max, momentum=0.9):
+    """The reference 1cycle policy (reference:
+    src/margipose/hyperparam_scheduler.py:6-21): lr ramps
+    lr_max/10 -> lr_max -> lr_max/10 -> lr_max/1e4 at t=[1, 0.45T, 0.9T, T];
+    momentum 0.9 -> 0.85 -> 0.9.
+
+    Note: the reference increments its counter *before* the first batch, so
+    its step-1 value applies to our count=0. We shift the milestones by 1.
+    """
+    lr_min = lr_max * 1e-1
+    lr_nihil = lr_min * 1e-3
+    t3 = max_iters
+    t2 = 0.9 * t3
+    t1 = t2 / 2
+    m_max = momentum
+    m_min = min(m_max, 0.85)
+    ts = [t - 1 for t in [1, t1, t2, t3]]
+    lr = piecewise_interpolate_schedule(ts, [lr_min, lr_max, lr_min, lr_nihil])
+    mom = piecewise_interpolate_schedule(ts, [m_max, m_min, m_max, m_max])
+    return lr, mom
+
+
+def multistep_schedule(lr, milestones, gamma, steps_per_epoch):
+    """Epoch-milestone step decay (torch MultiStepLR semantics)."""
+    boundaries = {int(m * steps_per_epoch): gamma for m in milestones}
+    return optax.piecewise_constant_schedule(lr, boundaries)
+
+
+def make_optimiser(algorithm: str, lr: float, max_iters: int = None,
+                   milestones=None, gamma=None, steps_per_epoch: int = None):
+    """Build the optax transform for a named algorithm, mirroring the
+    reference presets (reference: src/margipose/bin/train_3d.py:234-239,338-347)."""
+    if algorithm == '1cycle':
+        lr_sched, mom_sched = onecycle_schedules(max_iters, lr_max=lr, momentum=0.9)
+        return optax.inject_hyperparams(_sgd_with_momentum)(
+            learning_rate=lr_sched, momentum=mom_sched)
+    if algorithm == 'sgd_simple':
+        return optax.sgd(lr)
+    if algorithm == 'sgd':
+        sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
+        return optax.sgd(sched)
+    if algorithm == 'nesterov':
+        sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
+        return optax.sgd(sched, momentum=0.8, nesterov=True)
+    if algorithm == 'rmsprop':
+        sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
+        return optax.rmsprop(sched)
+    raise ValueError(f'unrecognised optimisation algorithm: {algorithm}')
+
+
+def _sgd_with_momentum(learning_rate, momentum):
+    """SGD with torch-style momentum buffers (trace, not EMA)."""
+    return optax.chain(
+        optax.trace(decay=momentum, nesterov=False),
+        optax.sgd(learning_rate),
+    )

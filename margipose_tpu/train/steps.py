@@ -1,0 +1,118 @@
+"""Compiled train / eval steps.
+
+The full update — forward, masked 2D/3D loss, backward, optax update, BN
+running-stat update — is one jit-ed function. Under a sharded mesh, GSPMD
+partitions it: batch over 'data' (gradient all-reduce via psum), optional
+conv-channel tensor parallelism over 'model'. Replaces the reference's
+eager loop (reference: src/margipose/bin/train_3d.py:145-196).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from margipose_tpu.models.margipose import (
+    margipose_masked_loss,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, rng, optimiser, input_shape=(1, 256, 256, 3),
+                       variables=None) -> TrainState:
+    if variables is None:
+        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+    opt_state = optimiser.init(variables["params"])
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=opt_state,
+    )
+
+
+def make_train_step(model, optimiser, pixelwise_loss="jsd", donate=True):
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    ``batch`` needs: input [B,H,W,3] f32, target [B,J,>=3] f32,
+    joint_mask [B,J] f32, valid_depth [B] i32.
+    """
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            (xyz, out), new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = margipose_masked_loss(
+                out,
+                batch["target"][..., :3],
+                batch["joint_mask"],
+                batch["valid_depth"],
+                pixelwise_loss,
+            )
+            return loss, (new_model_state, xyz)
+
+        (loss, (new_model_state, xyz)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimiser.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_model_state["batch_stats"],
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss, "pred": xyz}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, pixelwise_loss="jsd"):
+    """Jitted eval step: (params, batch_stats, batch) -> metrics dict with
+    predictions and the 3D loss (reference: src/margipose/bin/eval_3d.py:59-63)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        (xyz, out), _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["input"],
+            train=False,
+            mutable=[],
+        )
+        loss = margipose_masked_loss(
+            out,
+            batch["target"][..., :3],
+            batch["joint_mask"],
+            batch["valid_depth"],
+            pixelwise_loss,
+        )
+        return {"loss": loss, "pred": xyz}
+
+    return eval_step
+
+
+def make_forward_fn(model):
+    """Jitted inference-only forward: (variables, images) -> coords."""
+
+    @jax.jit
+    def forward(variables, images):
+        xyz, _ = model.apply(variables, images, train=False)
+        return xyz
+
+    return forward

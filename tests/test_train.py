@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from margipose_tpu.models.margipose import MargiPoseModel
+from margipose_tpu.parallel import make_mesh, shard_batch, shard_variables
+from margipose_tpu.train.schedules import make_optimiser, onecycle_schedules
+from margipose_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def small_model():
+    return MargiPoseModel(n_joints=17, n_stages=1, feature_extractor='resnet18')
+
+
+def fake_batch(rng, batch=4, size=64):
+    return {
+        'input': np.asarray(rng.randn(batch, size, size, 3), np.float32),
+        'target': np.asarray(rng.uniform(-0.9, 0.9, (batch, 17, 3)), np.float32),
+        'joint_mask': np.ones((batch, 17), np.float32),
+        'valid_depth': np.ones((batch,), np.int32),
+    }
+
+
+def test_onecycle_schedule_values():
+    """Matches the reference interpolation (reference:
+    src/margipose/hyperparam_scheduler.py:6-21) with batch_count = count+1."""
+    lr_sched, mom_sched = onecycle_schedules(1000, lr_max=1.0, momentum=0.9)
+    t2 = 0.9 * 1000
+    t1 = t2 / 2
+    # step 1 (count 0): lr_min
+    assert float(lr_sched(0)) == pytest.approx(0.1, rel=1e-6)
+    # peak at t1
+    assert float(lr_sched(int(t1) - 1)) == pytest.approx(1.0, rel=1e-3)
+    assert float(mom_sched(int(t1) - 1)) == pytest.approx(0.85, rel=1e-3)
+    # end: lr_max/1e4... lr_nihil = lr_min*1e-3 = 1e-4
+    assert float(lr_sched(999)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(mom_sched(999)) == pytest.approx(0.9, rel=1e-6)
+
+
+def test_train_step_reduces_loss():
+    model = small_model()
+    opt = make_optimiser('1cycle', lr=0.05, max_iters=30)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    train_step = make_train_step(model, opt, donate=False)
+
+    rng = np.random.RandomState(0)
+    batch = fake_batch(rng)  # single fixed batch: loss must drop when memorising
+    state, first = train_step(state, batch)
+    losses = [float(first['loss'])]
+    for _ in range(14):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 15
+
+
+def test_eval_step_runs():
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    eval_step = make_eval_step(model)
+    batch = fake_batch(np.random.RandomState(1), batch=2)
+    metrics = eval_step(state.params, state.batch_stats, batch)
+    assert metrics['pred'].shape == (2, 17, 3)
+    assert np.isfinite(float(metrics['loss']))
+
+
+def test_train_step_sharded_mesh():
+    """Full train step under GSPMD on the 8-device CPU mesh with batch
+    sharded over 'data' and conv channels sharded over 'model'."""
+    assert len(jax.devices()) == 8, 'conftest must provide 8 CPU devices'
+    mesh = make_mesh(shape=(4, 2))
+    model = small_model()
+    opt = make_optimiser('1cycle', lr=0.01, max_iters=10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    state = TrainState(
+        step=state.step,
+        params=shard_variables(state.params, mesh),
+        batch_stats=shard_variables(state.batch_stats, mesh),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    train_step = make_train_step(model, opt, donate=False)
+    batch = shard_batch(fake_batch(np.random.RandomState(0), batch=8), mesh)
+    state2, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    # params keep their shardings
+    some_kernel = jax.tree.leaves(state2.params)[0]
+    assert some_kernel.sharding is not None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from margipose_tpu.train.checkpoint import (
+        load_meta,
+        load_model,
+        restore_checkpoint,
+        save_checkpoint,
+        save_model,
+    )
+
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    desc = {'type': 'margipose', 'version': '6.0.1',
+            'settings': {'n_stages': 1, 'feature_extractor': 'resnet18'}}
+
+    ckpt_dir = str(tmp_path / 'ckpt')
+    save_checkpoint(ckpt_dir, state, desc, extra={'epoch': 3})
+    assert load_meta(ckpt_dir)['epoch'] == 3
+
+    template = create_train_state(
+        model, jax.random.PRNGKey(1), opt, input_shape=(1, 64, 64, 3))
+    restored = restore_checkpoint(ckpt_dir, template)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    model_dir = str(tmp_path / 'model')
+    save_model(model_dir, {'params': state.params, 'batch_stats': state.batch_stats},
+               desc)
+    model2, variables, desc2 = load_model(model_dir)
+    assert desc2 == desc
+    c = jax.tree.leaves(variables['params'])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c))
