@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Calculate evaluation metrics for a trained model
+(reference: src/margipose/bin/eval_3d.py)."""
+
+from __future__ import annotations
+
+import argparse
+from time import perf_counter
+
+import numpy as np
+import pandas as pd
+
+from margipose_tpu.cli import Subcommand
+from margipose_tpu.data.get_dataset import get_dataset
+from margipose_tpu.data.loader import make_dataloader, make_unbatched_dataloader
+from margipose_tpu.eval import gather_3d_metrics, prepare_for_3d_evaluation
+from margipose_tpu.geometry.coords import ensure_homogeneous
+from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc, VNect_Common_Skeleton
+from margipose_tpu.models import data_specs_for_desc
+from margipose_tpu.models.margipose import margipose_masked_loss
+from margipose_tpu.train.checkpoint import load_model
+from margipose_tpu.train.meters import MeanValueMeter, MedianValueMeter
+from margipose_tpu.utils import init_algorithms, seed_all
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        prog='margipose-eval', description='3D human pose model evaluator',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('--model', type=str, metavar='FILE', required=True,
+                        help='path to model file (.pth or orbax dir)')
+    parser.add_argument('--dataset', type=str, metavar='DS', default='mpi3d-test',
+                        help='dataset to evaluate on')
+    parser.add_argument('--multicrop', action='store_true',
+                        help='enable the use of multiple crops')
+    return parser.parse_args(argv[1:])
+
+
+def obtain_predictions(forward, pixelwise_loss, loader, known_depth=False,
+                       print_progress=False):
+    """(reference: src/margipose/bin/eval_3d.py:48-94)"""
+    iterable = loader
+    if print_progress:
+        try:
+            from tqdm import tqdm
+
+            iterable = tqdm(loader, leave=True, ascii=True)
+        except ImportError:
+            pass
+
+    for batch in iterable:
+        import jax.numpy as jnp
+
+        in_var = jnp.asarray(batch['input'])
+        target = jnp.asarray(batch['target'][..., :3])
+
+        start_time = perf_counter()
+        xyz, out = forward(in_var)
+        xyz.block_until_ready()
+        inference_time = perf_counter() - start_time
+
+        valid_depth = jnp.asarray(np.asarray(batch['valid_depth'], np.int32))
+        mask = jnp.asarray(batch['joint_mask'])
+        loss = float(margipose_masked_loss(out, target, mask, valid_depth))
+
+        norm_preds = ensure_homogeneous(np.asarray(xyz, np.float64), d=3)
+
+        actuals = []
+        expected = None
+        for i, norm_pred in enumerate(norm_preds):
+            expected_i, actual_i = prepare_for_3d_evaluation(
+                batch['original_skel'][i], norm_pred, loader.dataset,
+                batch['camera_intrinsic'][i], batch['transform_opts'][i],
+                known_depth=known_depth)
+            expected = expected_i
+            actuals.append(actual_i)
+        actual = np.stack(actuals, 0).mean(0)
+
+        frame_ref = None
+        if 'frame_ref' in batch:
+            fr = batch['frame_ref']
+            frame_ref = fr[0] if isinstance(fr, list) else {
+                k: np.asarray(v)[0] for k, v in fr.items()}
+
+        yield dict(expected=expected, actual=actual, frame_ref=frame_ref,
+                   inference_time=inference_time, loss=loss)
+
+
+def run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
+                      known_depth=False, print_progress=False):
+    """(reference: src/margipose/bin/eval_3d.py:97-118)"""
+    loss_meter = MeanValueMeter()
+    time_meter = MedianValueMeter()
+    d = dict(seq_id=[], activity_id=[], aligned_auc=[], aligned_mpjpe=[],
+             aligned_pck=[], auc=[], mpjpe=[], pck=[])
+
+    for pred in obtain_predictions(forward, pixelwise_loss, loader, known_depth,
+                                   print_progress):
+        time_meter.add(pred['inference_time'])
+        loss_meter.add(pred['loss'])
+        metrics = gather_3d_metrics(pred['expected'], pred['actual'], included_joints)
+        if pred['frame_ref']:
+            d['seq_id'].append(
+                f"TS{pred['frame_ref']['subject_id']}/Seq{pred['frame_ref']['sequence_id']}")
+            d['activity_id'].append(pred['frame_ref']['activity_id'])
+        else:
+            d['seq_id'].append('-')
+            d['activity_id'].append('-')
+        for name, value in metrics.items():
+            d[name].append(value)
+
+    df = pd.DataFrame(d)
+    return df, dict(median_inference_time=time_meter.value(),
+                    mean_loss=loss_meter.value())
+
+
+def _print_table(df):
+    try:
+        print(df.to_markdown())
+    except ImportError:
+        print(df.to_string())
+
+
+def main(argv, common_opts):
+    import jax
+
+    args = parse_args(argv)
+    seed_all(12345)
+    init_algorithms(deterministic=True)
+
+    model, variables, model_desc = load_model(args.model)
+    dataset = get_dataset(args.dataset, data_specs_for_desc(model_desc), use_aug=False)
+
+    if args.multicrop:
+        dataset.multicrop = True
+        loader = make_unbatched_dataloader(dataset)
+    else:
+        loader = make_dataloader(dataset, batch_size=1)
+
+    if args.dataset.startswith('h36m-'):
+        known_depth = True
+        included_joints = list(range(CanonicalSkeletonDesc.n_joints))
+    else:
+        known_depth = False
+        included_joints = [
+            CanonicalSkeletonDesc.joint_names.index(n) for n in VNect_Common_Skeleton]
+    print(f'Use ground truth root joint depth? {known_depth}')
+    print(f'Number of joints in evaluation: {len(included_joints)}')
+
+    @jax.jit
+    def jitted(images):
+        return model.apply(variables, images, train=False)
+
+    forward = lambda images: jitted(images)
+    pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
+
+    df, stats = run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
+                                  known_depth=known_depth, print_progress=True)
+
+    print('### By sequence\n')
+    _print_table(df.drop(columns=['activity_id']).groupby('seq_id').mean())
+    print('\n### By activity\n')
+    _print_table(df.drop(columns=['seq_id']).groupby('activity_id').mean())
+    print('\n### Overall\n')
+    _print_table(df.drop(columns=['activity_id', 'seq_id']).mean().to_frame().T)
+    print(f"\nmedian inference time: {stats['median_inference_time']:.6f}s")
+
+
+Eval_Subcommand = Subcommand(name='eval', func=main,
+                             help='evaluate the accuracy of predictions')
+
+if __name__ == '__main__':
+    Eval_Subcommand.run()

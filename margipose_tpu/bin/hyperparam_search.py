@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Leslie-Smith LR range test (reference: src/margipose/bin/hyperparam_search.py).
+
+Sweeps learning rate geometrically from lr_min to lr_max over at most 1000
+iterations, tracking EMA-smoothed loss; stops when the loss diverges to 4x
+its observed minimum. Writes a loss-vs-lr curve (PNG + CSV).
+
+    margipose hyperparams with margipose_model synthetic lr_min=1e-5 lr_max=10
+"""
+
+from __future__ import annotations
+
+import datetime
+from os import makedirs, path
+
+import jax
+import numpy as np
+import optax
+
+from margipose_tpu.cli import Subcommand
+from margipose_tpu.config import Experiment
+from margipose_tpu.data.loader import device_prefetch
+from margipose_tpu.models import (
+    Default_Chatterbox_Desc,
+    Default_MargiPose_Desc,
+    create_model,
+    default_data_specs,
+)
+from margipose_tpu.train.helpers import create_train_dataloader
+from margipose_tpu.train.steps import create_train_state, make_train_step
+from margipose_tpu.utils import seed_all
+
+ex = Experiment()
+ex.add_named_config('margipose_model', model_desc=Default_MargiPose_Desc)
+ex.add_named_config('chatterbox_model', model_desc=Default_Chatterbox_Desc)
+ex.add_named_config('mpi3d', train_datasets=['mpi3d-trainval', 'mpii-trainval'])
+ex.add_named_config('h36m', train_datasets=['h36m-trainval', 'mpii-trainval'])
+ex.add_named_config('synthetic', train_datasets=['synthetic-512'])
+
+ex.add_config(
+    seed=12345,
+    model_desc=Default_MargiPose_Desc,
+    train_datasets=['synthetic-512'],
+    batch_size=32,
+    lr_min=1e-5,
+    lr_max=100.0,
+    max_iters=1000,
+    ema_beta=0.98,
+    momentum=0.9,
+    out_dir='out',
+    use_aug=True,
+    num_workers=4,
+)
+
+
+def run_lr_range_test(cfg: dict) -> dict:
+    seed_all(cfg['seed'])
+    model = create_model(cfg['model_desc'])
+    data_specs = default_data_specs()
+
+    loader = create_train_dataloader(
+        cfg['train_datasets'], data_specs, cfg['batch_size'],
+        cfg['max_iters'] * cfg['batch_size'], cfg['use_aug'],
+        num_workers=cfg['num_workers'], seed=cfg['seed'])
+
+    lrs = np.geomspace(cfg['lr_min'], cfg['lr_max'], cfg['max_iters'])
+    lr_schedule = lambda count: jax.numpy.asarray(lrs)[
+        jax.numpy.clip(count, 0, len(lrs) - 1).astype(int)]
+    optimiser = optax.inject_hyperparams(
+        lambda learning_rate: optax.sgd(learning_rate, momentum=cfg['momentum'])
+    )(learning_rate=lr_schedule)
+
+    h, w = data_specs.input_specs.height, data_specs.input_specs.width
+    state = create_train_state(model, jax.random.PRNGKey(cfg['seed']), optimiser,
+                               input_shape=(1, h, w, 3))
+    train_step = make_train_step(
+        model, optimiser, cfg['model_desc']['settings'].get('pixelwise_loss', 'jsd'),
+        donate=False)
+
+    losses, used_lrs = [], []
+    avg_loss, best_loss = 0.0, float('inf')
+    beta = cfg['ema_beta']
+
+    for i, batch in enumerate(device_prefetch(iter(loader))):
+        if i >= cfg['max_iters']:
+            break
+        device_batch = {
+            'input': batch['input'], 'target': batch['target'],
+            'joint_mask': batch['joint_mask'],
+            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+        }
+        state, metrics = train_step(state, device_batch)
+        loss = float(metrics['loss'])
+        if not np.isfinite(loss):
+            print(f'stopping at iter {i}: non-finite loss')
+            break
+        avg_loss = beta * avg_loss + (1 - beta) * loss
+        smoothed = avg_loss / (1 - beta ** (i + 1))
+        losses.append(smoothed)
+        used_lrs.append(float(lrs[i]))
+        best_loss = min(best_loss, smoothed)
+        if smoothed > 4 * best_loss:
+            print(f'stopping at iter {i}: loss diverged ({smoothed:.4g} > 4x '
+                  f'{best_loss:.4g})')
+            break
+        if i % 25 == 0:
+            print(f'iter {i:4d}  lr={lrs[i]:.3e}  loss={smoothed:.5f}', flush=True)
+
+    out = {'lrs': used_lrs, 'losses': losses}
+    if cfg['out_dir']:
+        exp_dir = path.join(
+            cfg['out_dir'],
+            'lrfind-' + datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
+        makedirs(exp_dir, exist_ok=True)
+        np.savetxt(path.join(exp_dir, 'lr_curve.csv'),
+                   np.stack([used_lrs, losses], 1), delimiter=',',
+                   header='lr,loss')
+        try:
+            import matplotlib
+
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.plot(used_lrs, losses)
+            ax.set_xscale('log')
+            ax.set_xlabel('learning rate')
+            ax.set_ylabel('smoothed loss')
+            fig.savefig(path.join(exp_dir, 'lr_curve.png'), dpi=100)
+            print(f'wrote {exp_dir}/lr_curve.png')
+        except Exception as e:  # plotting is best-effort
+            print(f'plotting failed: {e}')
+    return out
+
+
+def main(argv, common_opts):
+    cfg = ex.parse(argv[1:])
+    return run_lr_range_test(cfg)
+
+
+Hyperparams_Subcommand = Subcommand(
+    name='hyperparams', func=main, help='run hyperparameter search')
+
+if __name__ == '__main__':
+    Hyperparams_Subcommand.run()

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Perform 3D pose inference on a single image
+(reference: src/margipose/bin/infer_single.py).
+
+The image is assumed to be centred on a human subject. The skeleton is shown
+in normalized form. Output goes to ``--out-file`` (PNG) when given or when no
+display is available; otherwise a matplotlib window opens.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import PIL.Image
+
+from margipose_tpu.cli import Subcommand
+from margipose_tpu.data.specs import ImageSpecs
+from margipose_tpu.geometry.coords import ensure_cartesian
+from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+from margipose_tpu.models import data_specs_for_desc, default_data_specs
+from margipose_tpu.train.checkpoint import load_model
+from margipose_tpu.utils import init_algorithms, plot_skeleton_on_axes3d, seed_all
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        prog='margipose-infer', description='3D human pose inference',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('--model', type=str, metavar='FILE', required=True,
+                        help='path to model file (.pth or orbax dir)')
+    parser.add_argument('--image', type=str, metavar='FILE', required=True,
+                        help='image file to infer pose from')
+    parser.add_argument('--out-file', type=str, metavar='FILE', default=None,
+                        help='write the visualisation to this PNG instead of showing')
+    return parser.parse_args(argv[1:])
+
+
+def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
+    """Thumbnail + normalise + forward. Returns (input_array, coords [17,3])."""
+    import jax
+    import jax.numpy as jnp
+
+    specs = data_specs_for_desc(model_desc) if model_desc else default_data_specs()
+    input_specs: ImageSpecs = specs.input_specs
+    image = image.copy()
+    image.thumbnail((input_specs.width, input_specs.height))
+    # pad to the full input size so the compiled shape is static
+    canvas = PIL.Image.new('RGB', (input_specs.width, input_specs.height))
+    canvas.paste(image, (0, 0))
+    inp = input_specs.convert(canvas)
+
+    @jax.jit
+    def forward(images):
+        xyz, _ = model.apply(variables, images, train=False)
+        return xyz
+
+    output = forward(jnp.asarray(inp[None]))[0]
+    return inp, np.asarray(output, dtype=np.float64)
+
+
+def main(argv, common_opts):
+    args = parse_args(argv)
+    seed_all(12345)
+    init_algorithms(deterministic=True)
+
+    model, variables, model_desc = load_model(args.model)
+    image = PIL.Image.open(args.image, 'r')
+    inp, output = infer_image(model, variables, image, model_desc)
+
+    norm_skel3d = ensure_cartesian(output, d=3)
+    print('Normalized skeleton coordinates:')
+    for name, xyz in zip(CanonicalSkeletonDesc.joint_names, norm_skel3d):
+        print(f'  {name:16s} {xyz[0]:+.4f} {xyz[1]:+.4f} {xyz[2]:+.4f}')
+
+    out_file = args.out_file
+    if out_file is None and not os.environ.get('DISPLAY'):
+        out_file = 'inference.png'
+
+    import matplotlib
+
+    if out_file:
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(16, 8))
+    ax1 = fig.add_subplot(1, 2, 1)
+    ax2 = fig.add_subplot(1, 2, 2, projection='3d')
+    ax1.imshow(data_specs_for_desc(model_desc).input_specs.unconvert(inp))
+    plot_skeleton_on_axes3d(norm_skel3d, CanonicalSkeletonDesc, ax2, invert=True)
+    if out_file:
+        fig.savefig(out_file, dpi=100)
+        print(f'wrote {out_file}')
+    else:
+        plt.show()
+
+
+Infer_Subcommand = Subcommand(name='infer', func=main,
+                              help='infer 3D pose for single image')
+
+if __name__ == '__main__':
+    Infer_Subcommand.run()

@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Browse dataset examples with predicted vs ground-truth skeletons
+(reference: src/margipose/bin/run_gui.py).
+
+Two modes:
+  * interactive Tk GUI (when a display is available): browse examples,
+    overlay predicted/GT skeletons, inspect per-joint xy/zy/xz heatmaps;
+  * headless HTML report (``--export-html``): the same panels rendered for a
+    sample of examples into a standalone HTML file — the idiomatic
+    remote-TPU-host replacement for a local Tk window.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import os
+
+import numpy as np
+import PIL.Image
+
+from margipose_tpu.cli import Subcommand
+from margipose_tpu.data.get_dataset import get_dataset
+from margipose_tpu.eval import gather_3d_metrics, prepare_for_3d_evaluation
+from margipose_tpu.geometry.coords import ensure_homogeneous
+from margipose_tpu.models import data_specs_for_desc, default_data_specs
+from margipose_tpu.train.checkpoint import load_model
+from margipose_tpu.utils import draw_skeleton_2d, seed_all
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        prog='margipose-gui', description='browse examples and predictions',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('--model', type=str, metavar='FILE',
+                        help='path to model file (optional)')
+    parser.add_argument('--dataset', type=str, default='synthetic-64')
+    parser.add_argument('--export-html', type=str, metavar='FILE', default=None,
+                        help='write a headless HTML report to this file')
+    parser.add_argument('--examples', type=int, default=8,
+                        help='number of examples in the HTML report')
+    return parser.parse_args(argv[1:])
+
+
+def _load_and_process_example(dataset, forward, index):
+    example = dataset[index]
+    inp = example['input']
+    result = {'example': example, 'pred': None, 'metrics': None, 'heatmaps': None}
+    if forward is not None:
+        import jax.numpy as jnp
+
+        xyz, out = forward(jnp.asarray(inp[None]))
+        pred = np.asarray(xyz, np.float64)[0]
+        result['pred'] = pred
+        result['heatmaps'] = {
+            'xy': np.asarray(out.xy_heatmaps[-1][0]),
+            'zy': np.asarray(out.zy_heatmaps[-1][0]),
+            'xz': np.asarray(out.xz_heatmaps[-1][0]),
+        }
+        if example.get('valid_depth', 1) == 1:
+            expected, actual = prepare_for_3d_evaluation(
+                example['original_skel'], ensure_homogeneous(pred, 3), dataset,
+                example['camera_intrinsic'], example['transform_opts'])
+            result['metrics'] = gather_3d_metrics(expected, actual)
+    return result
+
+
+def _overlay_image(dataset, example, pred):
+    img = dataset.input_to_pil_image(np.asarray(example['input']))
+    # GT in green via image-space projection
+    gt = dataset.to_image_space(
+        example['index'],
+        ensure_homogeneous(np.asarray(example['target'], np.float64), 3),
+        example['camera_intrinsic'])
+    import PIL.ImageDraw as ImageDraw
+
+    draw = ImageDraw.Draw(img)
+    for j, parent in enumerate(dataset.skeleton_desc.joint_tree):
+        if j != parent:
+            draw.line([tuple(gt[j][:2]), tuple(gt[parent][:2])],
+                      fill=(0, 255, 0), width=1)
+    if pred is not None:
+        skel2d = dataset.to_image_space(
+            example['index'], ensure_homogeneous(pred, 3),
+            example['camera_intrinsic'])
+        draw_skeleton_2d(img, skel2d, dataset.skeleton_desc)
+    return img
+
+
+def _heatmap_strip(heatmaps, joint):
+    """xy/zy/xz heatmaps for one joint as a horizontal image strip."""
+    panels = []
+    for key in ('xy', 'zy', 'xz'):
+        hm = heatmaps[key][joint]
+        hm = hm / (hm.max() + 1e-12)
+        arr = (np.clip(hm, 0, 1) * 255).astype(np.uint8)
+        panels.append(PIL.Image.fromarray(arr).resize((96, 96), PIL.Image.NEAREST))
+    strip = PIL.Image.new('L', (96 * 3 + 8, 96))
+    for i, p in enumerate(panels):
+        strip.paste(p, (i * (96 + 4), 0))
+    return strip
+
+
+def _img_to_b64(img):
+    buf = io.BytesIO()
+    img.save(buf, format='PNG')
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def export_html(dataset, forward, out_file, n_examples):
+    rows = []
+    n = min(n_examples, len(dataset))
+    for i in range(n):
+        r = _load_and_process_example(dataset, forward, i)
+        overlay = _overlay_image(dataset, r['example'], r['pred'])
+        cells = [f'<td><img src="data:image/png;base64,{_img_to_b64(overlay)}"></td>']
+        if r['heatmaps'] is not None:
+            strip = _heatmap_strip(r['heatmaps'], 0)
+            cells.append(
+                f'<td><img src="data:image/png;base64,{_img_to_b64(strip)}">'
+                f'<br><small>joint 0 xy/zy/xz heatmaps</small></td>')
+        if r['metrics'] is not None:
+            m = r['metrics']
+            cells.append(
+                f"<td>MPJPE {m['mpjpe']:.1f}mm<br>PCK {m['pck']:.3f}"
+                f"<br>aligned MPJPE {m['aligned_mpjpe']:.1f}mm</td>")
+        rows.append(f"<tr><td>#{i}</td>{''.join(cells)}</tr>")
+    html = (
+        '<html><head><title>margipose_tpu examples</title></head><body>'
+        '<h1>margipose_tpu example browser</h1>'
+        '<p>green = ground truth; red/blue/gold = prediction</p>'
+        f'<table border="1">{"".join(rows)}</table></body></html>'
+    )
+    with open(out_file, 'w') as f:
+        f.write(html)
+    print(f'wrote {out_file} ({n} examples)')
+
+
+def run_tk_gui(dataset, forward):
+    import tkinter as tk
+    from PIL import ImageTk
+
+    root = tk.Tk()
+    root.title('margipose_tpu GUI')
+    state = {'index': 0}
+
+    img_label = tk.Label(root)
+    img_label.pack()
+    info = tk.Label(root, text='')
+    info.pack()
+
+    def refresh():
+        r = _load_and_process_example(dataset, forward, state['index'])
+        overlay = _overlay_image(dataset, r['example'], r['pred'])
+        overlay = overlay.resize((512, 512), PIL.Image.NEAREST)
+        photo = ImageTk.PhotoImage(overlay)
+        img_label.configure(image=photo)
+        img_label.image = photo
+        text = f"example {state['index'] + 1}/{len(dataset)}"
+        if r['metrics']:
+            text += (f"   MPJPE {r['metrics']['mpjpe']:.1f}mm  "
+                     f"PCK {r['metrics']['pck']:.3f}")
+        info.configure(text=text)
+
+    def step(delta):
+        state['index'] = (state['index'] + delta) % len(dataset)
+        refresh()
+
+    controls = tk.Frame(root)
+    controls.pack()
+    tk.Button(controls, text='< prev', command=lambda: step(-1)).pack(side=tk.LEFT)
+    tk.Button(controls, text='next >', command=lambda: step(1)).pack(side=tk.LEFT)
+    refresh()
+    root.mainloop()
+
+
+def main(argv, common_opts):
+    args = parse_args(argv)
+    seed_all(12345)
+
+    model_desc = None
+    model = variables = None
+    if args.model:
+        model, variables, model_desc = load_model(args.model)
+    specs = data_specs_for_desc(model_desc) if model_desc else default_data_specs()
+    dataset = get_dataset(args.dataset, specs, use_aug=False)
+
+    forward = None
+    if args.model:
+        import jax
+
+        @jax.jit
+        def jitted(images):
+            return model.apply(variables, images, train=False)
+
+        forward = jitted
+
+    if args.export_html or not os.environ.get('DISPLAY'):
+        out_file = args.export_html or 'gui_report.html'
+        export_html(dataset, forward, out_file, args.examples)
+    else:
+        run_tk_gui(dataset, forward)
+
+
+GUI_Subcommand = Subcommand(name='gui', func=main, help='browse dataset examples')
+
+if __name__ == '__main__':
+    GUI_Subcommand.run()

@@ -1,0 +1,258 @@
+#!/usr/bin/env python3
+"""Train a 3D pose model (reference: src/margipose/bin/train_3d.py).
+
+Usage mirrors the reference preset names:
+
+    margipose train with margipose_model mpi3d
+    margipose train with chatterbox_model h36m 1cycle quick
+    margipose train with margipose_model synthetic epochs=2 batch_size=8
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from os import makedirs, path
+
+import jax
+import numpy as np
+
+from margipose_tpu.cli import Subcommand
+from margipose_tpu.config import Experiment
+from margipose_tpu.data.loader import device_prefetch
+from margipose_tpu.geometry.coords import ensure_homogeneous
+from margipose_tpu.models import (
+    Default_Chatterbox_Desc,
+    Default_MargiPose_Desc,
+    create_model,
+    data_specs_for_desc,
+)
+from margipose_tpu.parallel import batch_sharding, make_mesh, shard_variables
+from margipose_tpu.train import checkpoint as ckpt
+from margipose_tpu.train.helpers import (
+    create_train_dataloader,
+    create_val_dataloader,
+    save_image_grid,
+    visualise_predictions,
+)
+from margipose_tpu.train.meters import generator_timer, make_train_reporter, timer
+from margipose_tpu.train.schedules import make_optimiser
+from margipose_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from margipose_tpu.utils import init_algorithms, seed_all
+
+ex = Experiment()
+
+# Model presets (reference: src/margipose/bin/train_3d.py:230-231)
+ex.add_named_config('margipose_model', model_desc=Default_MargiPose_Desc)
+ex.add_named_config('chatterbox_model', model_desc=Default_Chatterbox_Desc)
+
+# Optimiser presets (reference: src/margipose/bin/train_3d.py:234-239)
+ex.add_named_config('rmsprop', optim_algorithm='rmsprop', epochs=150, lr=2.5e-3,
+                    lr_milestones=[80, 140], lr_gamma=0.1)
+ex.add_named_config('1cycle', optim_algorithm='1cycle', epochs=150, lr=1.0,
+                    lr_milestones=None, lr_gamma=None)
+ex.add_named_config('sgd_simple', optim_algorithm='sgd_simple', epochs=150, lr=0.2,
+                    lr_milestones=None, lr_gamma=None)
+
+# Dataset presets (reference: src/margipose/bin/train_3d.py:242-243)
+ex.add_named_config('mpi3d', train_datasets=['mpi3d-trainval', 'mpii-trainval'],
+                    val_datasets=[])
+ex.add_named_config('h36m', train_datasets=['h36m-trainval', 'mpii-trainval'],
+                    val_datasets=[])
+ex.add_named_config('synthetic', train_datasets=['synthetic-512'],
+                    val_datasets=['synthetic-64'])
+
+# Debug preset (reference: src/margipose/bin/train_3d.py:246-247)
+ex.add_named_config('quick', out_dir='', epochs=10, tags=['quick'], quick=True,
+                    train_examples=256, val_examples=128)
+
+ex.add_config(
+    seed=12345,
+    model_desc=Default_MargiPose_Desc,
+    optim_algorithm='1cycle', epochs=150, lr=1.0, lr_milestones=None, lr_gamma=None,
+    train_datasets=['mpi3d-trainval', 'mpii-trainval'], val_datasets=[],
+    out_dir='out',
+    batch_size=32,
+    tags=[],
+    quick=False,
+    experiment_id=None,
+    weights=None,
+    deterministic=False,
+    train_examples=32000,
+    val_examples=1600,
+    use_aug=True,
+    preserve_root_joint_at_univ_scale=False,
+    num_workers=4,
+    metrics_every=10,          # batches between host-side mpjpe/pck evals
+    checkpoint_every=1,        # epochs between checkpoint saves
+)
+
+
+def run_training(cfg: dict) -> dict:
+    seed_all(cfg['seed'])
+    init_algorithms(deterministic=cfg['deterministic'])
+
+    experiment_id = cfg['experiment_id'] or datetime.datetime.now().strftime(
+        '%Y%m%d-%H%M%S%f')
+    exp_out_dir = None
+    if cfg['out_dir']:
+        exp_out_dir = path.join(cfg['out_dir'], experiment_id)
+        makedirs(exp_out_dir, exist_ok=True)
+    print(f'Experiment ID: {experiment_id}')
+
+    # ---- Model ----
+    model_desc = cfg['model_desc']
+    init_variables = None
+    if cfg['weights'] is not None:
+        _, init_variables, model_desc = ckpt.load_model(cfg['weights'])
+    model = create_model(model_desc)
+    print(json.dumps(model_desc, sort_keys=True, indent=2))
+
+    # ---- Data ----
+    from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+
+    MpiInf3dDataset.preserve_root_joint_at_univ_scale = \
+        cfg['preserve_root_joint_at_univ_scale']
+
+    data_specs = data_specs_for_desc(model_desc)
+    train_loader = create_train_dataloader(
+        cfg['train_datasets'], data_specs, cfg['batch_size'],
+        cfg['train_examples'], cfg['use_aug'], num_workers=cfg['num_workers'],
+        seed=cfg['seed'])
+    val_loader = None
+    if cfg['val_datasets']:
+        val_loader = create_val_dataloader(
+            cfg['val_datasets'], data_specs, cfg['batch_size'], cfg['val_examples'],
+            num_workers=cfg['num_workers'], seed=cfg['seed'])
+
+    # ---- Mesh & optimiser ----
+    mesh = make_mesh()
+    n_devices = mesh.devices.size
+    assert cfg['batch_size'] % n_devices == 0, (
+        f"batch_size {cfg['batch_size']} must divide over {n_devices} devices")
+
+    steps_per_epoch = len(train_loader)
+    max_iters = cfg['epochs'] * steps_per_epoch
+    optimiser = make_optimiser(
+        cfg['optim_algorithm'], cfg['lr'], max_iters=max_iters,
+        milestones=cfg['lr_milestones'], gamma=cfg['lr_gamma'],
+        steps_per_epoch=steps_per_epoch)
+
+    h = data_specs.input_specs.height
+    w = data_specs.input_specs.width
+    state = create_train_state(
+        model, jax.random.PRNGKey(cfg['seed']), optimiser,
+        input_shape=(1, h, w, 3), variables=init_variables and dict(init_variables))
+    state = TrainState(
+        step=state.step,
+        params=shard_variables(state.params, mesh),
+        batch_stats=shard_variables(state.batch_stats, mesh),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    train_step = make_train_step(model, optimiser,
+                                 model_desc['settings'].get('pixelwise_loss', 'jsd'))
+    eval_step = make_eval_step(model) if val_loader else None
+    data_sharding = batch_sharding(mesh)
+
+    # ---- Reporting ----
+    tel = make_train_reporter(with_val=val_loader is not None, out_dir=exp_out_dir)
+    if exp_out_dir:
+        with open(path.join(exp_out_dir, 'config.json'), 'w') as f:
+            json.dump({k: v for k, v in cfg.items()}, f, indent=2, sort_keys=True,
+                      default=str)
+
+    result = {}
+    for epoch in range(cfg['epochs']):
+        tel['epoch'].set_value(epoch)
+        print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
+
+        state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
+                                 data_sharding, exp_out_dir)
+        if val_loader is not None:
+            do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding)
+
+        result = {
+            'train_pck': tel['train_pck'].value(),
+            'train_mpjpe': tel['train_mpjpe'].value(),
+        }
+        if exp_out_dir and (epoch + 1) % cfg['checkpoint_every'] == 0:
+            ckpt.save_checkpoint(
+                path.join(exp_out_dir, 'model-latest'), state, model_desc,
+                extra={'epoch': epoch + 1, 'train_datasets': cfg['train_datasets']})
+        tel.step()
+
+    return result
+
+
+def _host_metrics(batch, dataset, preds, tel, prefix):
+    norm_preds = ensure_homogeneous(np.asarray(preds, np.float64), d=3)
+    metrics = dataset.evaluate_3d_batch(batch, norm_preds)
+    for m in metrics:
+        tel[f'{prefix}_mpjpe'].add(m['mpjpe'])
+        tel[f'{prefix}_pck'].add(m['pck'])
+
+
+def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
+                     exp_out_dir):
+    import time
+
+    vis_done = False
+    batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
+    i = 0
+    for batch in generator_timer(batch_iter, tel['data_load_time']):
+        t0 = time.perf_counter()
+        device_batch = {
+            'input': batch['input'],
+            'target': batch['target'],
+            'joint_mask': batch['joint_mask'],
+            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+        }
+        state, metrics = train_step(state, device_batch)
+
+        loss = float(metrics['loss'])  # sync point
+        step_time = time.perf_counter() - t0
+        tel['train_loss'].add(loss)
+        tel['step_time'].add(step_time)
+        tel['train_images_per_sec'].add(len(batch['valid_depth']) / step_time)
+
+        if i % cfg['metrics_every'] == 0:
+            with timer(tel['eval_time']):
+                _host_metrics(batch, loader.dataset, metrics['pred'], tel, 'train')
+            if not vis_done and exp_out_dir:
+                images = visualise_predictions(
+                    np.asarray(metrics['pred'], np.float64), batch, loader.dataset)
+                save_image_grid(images,
+                                path.join(exp_out_dir, 'train_examples.png'))
+                vis_done = True
+        i += 1
+    return state
+
+
+def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
+    batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
+    for batch in batch_iter:
+        device_batch = {
+            'input': batch['input'],
+            'target': batch['target'],
+            'joint_mask': batch['joint_mask'],
+            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+        }
+        metrics = eval_step(state.params, state.batch_stats, device_batch)
+        tel['val_loss'].add(float(metrics['loss']))
+        _host_metrics(batch, loader.dataset, metrics['pred'], tel, 'val')
+
+
+def main(argv, common_opts):
+    cfg = ex.parse(argv[1:])
+    return run_training(cfg)
+
+
+Train_Subcommand = Subcommand(name='train', func=main, help='train a model')
+
+if __name__ == '__main__':
+    Train_Subcommand.run()

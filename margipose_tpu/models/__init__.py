@@ -12,14 +12,24 @@ from margipose_tpu.models.factory import ModelFactory
 from margipose_tpu.models.margipose import Default_MargiPose_Desc, MargiPoseModel
 
 
-def default_data_specs() -> DataSpecs:
+def default_data_specs(input_size: int = 256) -> DataSpecs:
     """Both architectures consume 256x256 ImageNet-normalised crops and emit
     canonical 17-joint 3D skeletons
     (reference: src/margipose/models/margipose_model.py:206-209)."""
     return DataSpecs(
-        ImageSpecs(256, mean=ImageSpecs.IMAGENET_MEAN, stddev=ImageSpecs.IMAGENET_STDDEV),
+        ImageSpecs(input_size, mean=ImageSpecs.IMAGENET_MEAN,
+                   stddev=ImageSpecs.IMAGENET_STDDEV),
         JointsSpecs(CanonicalSkeletonDesc, n_dims=3),
     )
+
+
+def data_specs_for_desc(model_desc: dict) -> DataSpecs:
+    """DataSpecs dictated by a model_desc — the reference's inversion where
+    the model owns its input resolution/normalisation
+    (reference: src/margipose/bin/train_3d.py:302-303). An optional
+    ``input_size`` setting (margipose_tpu extension, default 256) supports
+    small smoke configs."""
+    return default_data_specs(model_desc.get("settings", {}).get("input_size", 256))
 
 
 class MargiPoseModelFactory(ModelFactory):

@@ -321,12 +321,28 @@ def _pixelwise_loss(kind, hm, target_coords, sigma=1.0):
     raise ValueError(f'unrecognised pixelwise loss: {kind}')
 
 
+def _resolve_fused(use_fused, pixelwise_loss) -> bool:
+    """The fused Pallas DSNT+JSD path is the default on TPU; the pure-jnp
+    composition elsewhere (numeric equivalence tested in tests/test_pallas.py)."""
+    if use_fused is not None:
+        return use_fused and pixelwise_loss == 'jsd'
+    return pixelwise_loss == 'jsd' and jax.default_backend() == 'tpu'
+
+
 def margipose_2d_losses(out: ModelOutput, target: jax.Array,
-                        pixelwise_loss: str | None = 'jsd') -> jax.Array:
+                        pixelwise_loss: str | None = 'jsd',
+                        use_fused: bool | None = None) -> jax.Array:
     """Per-joint 2D losses summed over stages [B, J]
     (reference: src/margipose/models/margipose_model.py:223-234)."""
     target_xy = target[..., :2]
     losses = 0.0
+    if _resolve_fused(use_fused, pixelwise_loss):
+        from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
+
+        for xy_hm in out.xy_heatmaps:
+            actual_xy, jsd = dsnt_jsd_fused(xy_hm, target_xy)
+            losses += jsd + euclidean_losses(actual_xy, target_xy)
+        return losses
     for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
         losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
         actual_xy = heatmaps_to_coords(xy_hm, zy_hm, xz_hm)[..., :2]
@@ -335,7 +351,8 @@ def margipose_2d_losses(out: ModelOutput, target: jax.Array,
 
 
 def margipose_3d_losses(out: ModelOutput, target: jax.Array,
-                        pixelwise_loss: str | None = 'jsd') -> jax.Array:
+                        pixelwise_loss: str | None = 'jsd',
+                        use_fused: bool | None = None) -> jax.Array:
     """Per-joint 3D losses summed over stages [B, J]
     (reference: src/margipose/models/margipose_model.py:236-252)."""
     target_xyz = target[..., :3]
@@ -343,6 +360,19 @@ def margipose_3d_losses(out: ModelOutput, target: jax.Array,
     target_zy = jnp.stack([target_xyz[..., 2], target_xyz[..., 1]], axis=-1)
     target_xz = jnp.stack([target_xyz[..., 0], target_xyz[..., 2]], axis=-1)
     losses = 0.0
+    if _resolve_fused(use_fused, pixelwise_loss):
+        from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
+
+        for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps,
+                                       out.xz_heatmaps):
+            cxy, jsd_xy = dsnt_jsd_fused(xy_hm, target_xy)
+            czy, jsd_zy = dsnt_jsd_fused(zy_hm, target_zy)
+            cxz, jsd_xz = dsnt_jsd_fused(xz_hm, target_xz)
+            z = 0.5 * (czy[..., 0:1] + cxz[..., 1:2])
+            actual_xyz = jnp.concatenate([cxy, z], axis=-1)
+            losses += jsd_xy + jsd_zy + jsd_xz
+            losses += euclidean_losses(actual_xyz, target_xyz)
+        return losses
     for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
         losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
         losses += _pixelwise_loss(pixelwise_loss, zy_hm, target_zy)
@@ -354,11 +384,12 @@ def margipose_3d_losses(out: ModelOutput, target: jax.Array,
 
 def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.Array,
                           valid_depth: jax.Array,
-                          pixelwise_loss: str | None = 'jsd') -> jax.Array:
+                          pixelwise_loss: str | None = 'jsd',
+                          use_fused: bool | None = None) -> jax.Array:
     """Vectorised per-example 3D/2D loss switch + masked mean — replaces the
     reference's Python-level per-example branch
     (reference: src/margipose/bin/train_3d.py:126-142)."""
-    losses_3d = margipose_3d_losses(out, target, pixelwise_loss)
-    losses_2d = margipose_2d_losses(out, target, pixelwise_loss)
+    losses_3d = margipose_3d_losses(out, target, pixelwise_loss, use_fused)
+    losses_2d = margipose_2d_losses(out, target, pixelwise_loss, use_fused)
     losses = jnp.where(valid_depth[:, None] == 1, losses_3d, losses_2d)
     return average_loss(losses, joint_mask)

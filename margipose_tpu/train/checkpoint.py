@@ -104,18 +104,22 @@ def load_model(model_file: str):
     )
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
     ocp = _ocp()
-    with ocp.StandardCheckpointer() as ckptr:
-        # saved either as full train state or variables-only
-        state_dir = path.join(model_file, "state")
-        var_dir = path.join(model_file, "variables")
-        if path.isdir(var_dir):
+    # saved either as full train state or variables-only
+    state_dir = path.join(model_file, "state")
+    var_dir = path.join(model_file, "variables")
+    if path.isdir(var_dir):
+        with ocp.StandardCheckpointer() as ckptr:
             variables = ckptr.restore(var_dir, dict(template))
-        else:
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
             payload = ckptr.restore(
                 state_dir,
-                {"step": np.zeros((), np.int32), "params": template["params"],
-                 "batch_stats": template["batch_stats"]},
+                args=ocp.args.PyTreeRestore(
+                    item={"params": template["params"],
+                          "batch_stats": template["batch_stats"]},
+                    partial_restore=True,
+                ),
             )
-            variables = {"params": payload["params"],
-                         "batch_stats": payload["batch_stats"]}
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
     return model, variables, model_desc

@@ -1,0 +1,104 @@
+"""End-to-end CLI smoke tests on the synthetic dataset (CPU, tiny configs)."""
+
+import json
+import sys
+from os import path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def trained_ckpt(tmp_path_factory):
+    """Train 2 tiny epochs on synthetic data via the real training entry.
+
+    Uses the input_size=96 smoke setting so CPU XLA compiles stay fast."""
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    out_dir = str(tmp_path_factory.mktemp('train_out'))
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple',
+        f'out_dir={out_dir}', 'epochs=2', 'batch_size=8',
+        'train_examples=16', 'val_examples=8', 'lr=0.02',
+        'num_workers=2', 'metrics_every=1', 'experiment_id=test',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-16"]', 'val_datasets=["synthetic-8"]',
+        'use_aug=False',
+    ])
+    result = run_training(cfg)
+    assert result['train_pck'] is not None
+    ckpt_dir = path.join(out_dir, 'test', 'model-latest')
+    assert path.isdir(ckpt_dir)
+    assert path.isfile(path.join(out_dir, 'test', 'config.json'))
+    assert path.isfile(path.join(out_dir, 'test', 'metrics.jsonl'))
+    return ckpt_dir
+
+
+def test_train_and_checkpoint(trained_ckpt):
+    from margipose_tpu.train.checkpoint import load_meta
+
+    meta = load_meta(trained_ckpt)
+    assert meta['epoch'] == 2
+    assert meta['model_desc']['type'] == 'margipose'
+
+
+def test_eval_cli(trained_ckpt, capsys):
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    eval_main(['eval', '--model', trained_ckpt, '--dataset', 'synthetic-4'],
+              {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'Overall' in out
+    assert 'mpjpe' in out
+
+
+def test_eval_cli_multicrop(trained_ckpt, capsys):
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    eval_main(['eval', '--model', trained_ckpt, '--dataset', 'synthetic-2',
+               '--multicrop'], {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'Overall' in out
+
+
+def test_infer_cli(trained_ckpt, tmp_path):
+    import PIL.Image
+
+    from margipose_tpu.bin.infer_single import main as infer_main
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    # render a synthetic person image to infer on
+    ds = SyntheticPoseDataset(length=1)
+    img = ds.input_to_pil_image(ds[0]['input'])
+    img_file = str(tmp_path / 'person.png')
+    img.save(img_file)
+    out_file = str(tmp_path / 'result.png')
+
+    infer_main(['infer', '--model', trained_ckpt, '--image', img_file,
+                '--out-file', out_file], {'device': 'auto'})
+    assert path.isfile(out_file)
+
+
+def test_gui_html_export(trained_ckpt, tmp_path):
+    from margipose_tpu.bin.run_gui import main as gui_main
+
+    out_file = str(tmp_path / 'report.html')
+    gui_main(['gui', '--model', trained_ckpt, '--dataset', 'synthetic-2',
+              '--export-html', out_file, '--examples', '2'], {'device': 'auto'})
+    html = open(out_file).read()
+    assert 'MPJPE' in html and 'base64' in html
+
+
+def test_config_parsing():
+    from margipose_tpu.bin.train_3d import ex
+
+    cfg = ex.parse(['with', 'margipose_model', 'quick', 'epochs=3',
+                    'lr=0.5', 'tags=["a"]'])
+    assert cfg['epochs'] == 3
+    assert cfg['lr'] == 0.5
+    assert cfg['quick'] is True
+    assert cfg['model_desc']['type'] == 'margipose'
+    with pytest.raises(SystemExit):
+        ex.parse(['with', 'definitely_not_a_config'])

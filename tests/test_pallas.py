@@ -1,0 +1,74 @@
+"""Numeric equivalence of the fused Pallas DSNT+JSD kernel against the
+pure-jnp reference ops (values AND gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from margipose_tpu.ops.dsnt import dsnt, flat_softmax, js_reg_losses
+from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
+
+
+def _random_heatmaps(b=2, j=17, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(b, j, h, w).astype(np.float32) * 2)
+    p = flat_softmax(logits)
+    mu = jnp.asarray(rng.uniform(-0.8, 0.8, (b, j, 2)).astype(np.float32))
+    return p, mu
+
+
+def test_fused_forward_matches_reference():
+    p, mu = _random_heatmaps()
+    coords, jsd = dsnt_jsd_fused(p, mu, sigma=1.0)
+    assert_allclose(np.asarray(coords), np.asarray(dsnt(p)), atol=1e-5)
+    assert_allclose(np.asarray(jsd), np.asarray(js_reg_losses(p, mu, 1.0)),
+                    atol=1e-5)
+
+
+def test_fused_forward_nonsquare():
+    p, mu = _random_heatmaps(b=1, j=3, h=16, w=24, seed=1)
+    coords, jsd = dsnt_jsd_fused(p, mu, sigma=2.0)
+    assert_allclose(np.asarray(coords), np.asarray(dsnt(p)), atol=1e-5)
+    assert_allclose(np.asarray(jsd), np.asarray(js_reg_losses(p, mu, 2.0)),
+                    atol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    p, mu = _random_heatmaps(b=1, j=4, h=16, w=16, seed=2)
+
+    def loss_fused(p):
+        coords, jsd = dsnt_jsd_fused(p, mu, sigma=1.0)
+        return jnp.sum(coords * 1.3) + jnp.sum(jsd)
+
+    def loss_ref(p):
+        coords = dsnt(p)
+        jsd = js_reg_losses(p, mu, 1.0)
+        return jnp.sum(coords * 1.3) + jnp.sum(jsd)
+
+    g_fused = jax.grad(loss_fused)(p)
+    g_ref = jax.grad(loss_ref)(p)
+    assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-4)
+
+
+def test_fused_through_softmax_gradients():
+    """Gradients must also agree when composed with the softmax producing p
+    (the actual model path)."""
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(1, 2, 16, 16).astype(np.float32))
+    mu = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 2)).astype(np.float32))
+
+    def loss_fused(logits):
+        p = flat_softmax(logits)
+        coords, jsd = dsnt_jsd_fused(p, mu)
+        return jnp.sum(coords**2) + jnp.sum(jsd)
+
+    def loss_ref(logits):
+        p = flat_softmax(logits)
+        return jnp.sum(dsnt(p)**2) + jnp.sum(js_reg_losses(p, mu, 1.0))
+
+    assert_allclose(
+        np.asarray(jax.grad(loss_fused)(logits)),
+        np.asarray(jax.grad(loss_ref)(logits)),
+        atol=1e-4,
+    )
