@@ -53,7 +53,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(np.random.RandomState(0).randn(batch, 256, 256, 3),
                          jnp.float32)
-    variables = model.init(rng, images[:1])
+    variables = jax.jit(model.init)(rng, images[:1])
 
     # ---- inference ----
     @jax.jit

@@ -32,7 +32,9 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(model, rng, optimiser, input_shape=(1, 256, 256, 3),
                        variables=None) -> TrainState:
     if variables is None:
-        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # extremely slow over a remote-TPU tunnel.
+        variables = jax.jit(model.init)(rng, jnp.zeros(input_shape, jnp.float32))
     opt_state = optimiser.init(variables["params"])
     return TrainState(
         step=jnp.zeros((), jnp.int32),
