@@ -33,6 +33,10 @@ def parse_args(argv):
                         help='dataset to evaluate on')
     parser.add_argument('--multicrop', action='store_true',
                         help='enable the use of multiple crops')
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='compute dtype (float32 for checkpoint-parity '
+                             'metrics; bfloat16 for TPU throughput)')
     return parser.parse_args(argv[1:])
 
 
@@ -147,9 +151,16 @@ def main(argv, common_opts):
     print(f'Use ground truth root joint depth? {known_depth}')
     print(f'Number of joints in evaluation: {len(included_joints)}')
 
+    from margipose_tpu.parallel.precision import compute_dtype_scope, resolve_dtype
+
+    compute_dtype = resolve_dtype(args.precision)
+
     @jax.jit
     def jitted(images):
-        return model.apply(variables, images, train=False)
+        with compute_dtype_scope(compute_dtype):
+            return model.apply(
+                variables, images.astype(compute_dtype or images.dtype),
+                train=False)
 
     forward = lambda images: jitted(images)
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')

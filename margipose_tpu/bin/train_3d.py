@@ -90,6 +90,11 @@ ex.add_config(
     num_workers=4,
     metrics_every=10,          # batches between host-side mpjpe/pck evals
     checkpoint_every=1,        # epochs between checkpoint saves
+    precision='bfloat16' if jax.default_backend() == 'tpu' else 'float32',
+    # mixed-precision compute dtype; master weights/BN stats stay float32
+    # (margipose_tpu/parallel/precision.py)
+    profile_steps=0,           # >0: capture a jax.profiler trace of that many
+                               # batches in epoch 0 to <out_dir>/profile
 )
 
 
@@ -155,8 +160,10 @@ def run_training(cfg: dict) -> dict:
         opt_state=jax.device_put(state.opt_state),
     )
     train_step = make_train_step(model, optimiser,
-                                 model_desc['settings'].get('pixelwise_loss', 'jsd'))
-    eval_step = make_eval_step(model) if val_loader else None
+                                 model_desc['settings'].get('pixelwise_loss', 'jsd'),
+                                 compute_dtype=cfg['precision'])
+    eval_step = (make_eval_step(model, compute_dtype=cfg['precision'])
+                 if val_loader else None)
     data_sharding = batch_sharding(mesh)
 
     # ---- Reporting ----
@@ -204,6 +211,14 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
     vis_done = False
     batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
     i = 0
+    profile_steps = cfg.get('profile_steps', 0)
+    profiling = False
+    if profile_steps and exp_out_dir and int(state.step) == 0:
+        # Idiomatic upgrade over the reference's wall-clock-only phase meters
+        # (reference: src/margipose/utils.py:218-234): a real device trace,
+        # viewable with tensorboard or xprof.
+        jax.profiler.start_trace(path.join(exp_out_dir, 'profile'))
+        profiling = True
     for batch in generator_timer(batch_iter, tel['data_load_time']):
         t0 = time.perf_counter()
         device_batch = {
@@ -230,6 +245,12 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
                                 path.join(exp_out_dir, 'train_examples.png'))
                 vis_done = True
         i += 1
+        if profiling and i >= profile_steps:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+    if profiling:
+        jax.profiler.stop_trace()
     return state
 
 

@@ -142,14 +142,26 @@ class TransformerContext:
         new_image = None
         if image is not None:
             out_size = (self.opts["out_width"], self.opts["out_height"])
-            new_image = warp_image_pil(image, self.affine, out_size)
-            new_image = adjust_colour_pil(
-                new_image,
-                brightness=self.opts.get("brightness", 1.0),
-                contrast=self.opts.get("contrast", 1.0),
-                saturation=self.opts.get("saturation", 1.0),
-                hue=self.opts.get("hue", 0.0),
-            )
+            b = self.opts.get("brightness", 1.0)
+            c = self.opts.get("contrast", 1.0)
+            s = self.opts.get("saturation", 1.0)
+            h = self.opts.get("hue", 0.0)
+            new_image = None
+            if image.mode == "RGB":
+                # Fused native warp+colour pass (one C++ loop instead of a
+                # PIL transform + three enhance passes); falls back to PIL.
+                from margipose_tpu import native
+
+                if native.available():
+                    arr = native.warp_colour_norm(
+                        np.asarray(image), self.affine, out_size,
+                        brightness=b, contrast=c, saturation=s, hue=h)
+                    new_image = PIL.Image.fromarray(
+                        (arr * 255.0 + 0.5).astype(np.uint8), "RGB")
+            if new_image is None:
+                new_image = warp_image_pil(image, self.affine, out_size)
+                new_image = adjust_colour_pil(
+                    new_image, brightness=b, contrast=c, saturation=s, hue=h)
         return new_camera, new_image, new_points
 
     def untransform(self, points: np.ndarray) -> np.ndarray:

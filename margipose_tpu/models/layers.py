@@ -26,6 +26,7 @@ from margipose_tpu.ops.convs import (
     max_pool2d,
     relu,
 )
+from margipose_tpu.parallel.precision import current_compute_dtype
 
 IntPair = Union[int, Sequence[int]]
 
@@ -72,6 +73,10 @@ class TorchConv(nn.Module):
             "weight", kaiming_fanout_init("out"), (kh, kw, x.shape[-1], self.features)
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        cd = current_compute_dtype()
+        if cd is not None:
+            x, w = x.astype(cd), w.astype(cd)
+            b = b if b is None else b.astype(cd)
         return conv2d(
             x, w, b, stride=self.stride, padding=self.padding,
             dilation=self.dilation, precision=self.precision,
@@ -98,6 +103,10 @@ class TorchConvTranspose(nn.Module):
             "weight", kaiming_fanout_init("in"), (kh, kw, x.shape[-1], self.features)
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        cd = current_compute_dtype()
+        if cd is not None:
+            x, w = x.astype(cd), w.astype(cd)
+            b = b if b is None else b.astype(cd)
         return conv2d_transpose(
             x, w, b, stride=self.stride, padding=self.padding,
             output_padding=self.output_padding, dilation=self.dilation,
@@ -118,11 +127,17 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Under a bf16 compute scope, pass dtype so the normalized output is
+        # cast back to bf16 (otherwise the f32 running stats / scale promote
+        # every BN output to f32, defeating mixed precision). Batch stats are
+        # still computed AND stored in f32 (flax computes in >=f32; ra_*
+        # keep param_dtype=f32).
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name if train else None,
+            dtype=current_compute_dtype(),
         )(x)
 
 

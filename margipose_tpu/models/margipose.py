@@ -329,24 +329,46 @@ def _resolve_fused(use_fused, pixelwise_loss) -> bool:
     return pixelwise_loss == 'jsd' and jax.default_backend() == 'tpu'
 
 
+def _stage_components(out: ModelOutput, target_xyz: jax.Array,
+                      pixelwise_loss, use_fused):
+    """Per-stage loss ingredients, each computed ONCE: per-plane pixelwise
+    losses and the coordinate estimates. Shared between the 2D and 3D loss
+    heads (the xy-plane terms are identical in both)."""
+    target_xy = target_xyz[..., 0:2]
+    target_zy = jnp.stack([target_xyz[..., 2], target_xyz[..., 1]], axis=-1)
+    target_xz = jnp.stack([target_xyz[..., 0], target_xyz[..., 2]], axis=-1)
+    fused = _resolve_fused(use_fused, pixelwise_loss)
+    if fused:
+        from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
+
+    for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps,
+                                   out.xz_heatmaps):
+        if fused:
+            cxy, px_xy = dsnt_jsd_fused(xy_hm, target_xy)
+            czy, px_zy = dsnt_jsd_fused(zy_hm, target_zy)
+            cxz, px_xz = dsnt_jsd_fused(xz_hm, target_xz)
+        else:
+            cxy, czy, cxz = dsnt(xy_hm), dsnt(zy_hm), dsnt(xz_hm)
+            px_xy = _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
+            px_zy = _pixelwise_loss(pixelwise_loss, zy_hm, target_zy)
+            px_xz = _pixelwise_loss(pixelwise_loss, xz_hm, target_xz)
+        z = 0.5 * (czy[..., 0:1] + cxz[..., 1:2])
+        actual_xyz = jnp.concatenate([cxy, z], axis=-1)
+        yield px_xy, px_zy, px_xz, cxy, actual_xyz
+
+
 def margipose_2d_losses(out: ModelOutput, target: jax.Array,
                         pixelwise_loss: str | None = 'jsd',
                         use_fused: bool | None = None) -> jax.Array:
     """Per-joint 2D losses summed over stages [B, J]
     (reference: src/margipose/models/margipose_model.py:223-234)."""
     target_xy = target[..., :2]
+    pad = jnp.zeros_like(target_xy[..., :1])
     losses = 0.0
-    if _resolve_fused(use_fused, pixelwise_loss):
-        from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
-
-        for xy_hm in out.xy_heatmaps:
-            actual_xy, jsd = dsnt_jsd_fused(xy_hm, target_xy)
-            losses += jsd + euclidean_losses(actual_xy, target_xy)
-        return losses
-    for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
-        losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
-        actual_xy = heatmaps_to_coords(xy_hm, zy_hm, xz_hm)[..., :2]
-        losses += euclidean_losses(actual_xy, target_xy)
+    for px_xy, _, _, cxy, _ in _stage_components(
+            out, jnp.concatenate([target_xy, pad], axis=-1),
+            pixelwise_loss, use_fused):
+        losses += px_xy + euclidean_losses(cxy, target_xy)
     return losses
 
 
@@ -356,29 +378,10 @@ def margipose_3d_losses(out: ModelOutput, target: jax.Array,
     """Per-joint 3D losses summed over stages [B, J]
     (reference: src/margipose/models/margipose_model.py:236-252)."""
     target_xyz = target[..., :3]
-    target_xy = target_xyz[..., 0:2]
-    target_zy = jnp.stack([target_xyz[..., 2], target_xyz[..., 1]], axis=-1)
-    target_xz = jnp.stack([target_xyz[..., 0], target_xyz[..., 2]], axis=-1)
     losses = 0.0
-    if _resolve_fused(use_fused, pixelwise_loss):
-        from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
-
-        for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps,
-                                       out.xz_heatmaps):
-            cxy, jsd_xy = dsnt_jsd_fused(xy_hm, target_xy)
-            czy, jsd_zy = dsnt_jsd_fused(zy_hm, target_zy)
-            cxz, jsd_xz = dsnt_jsd_fused(xz_hm, target_xz)
-            z = 0.5 * (czy[..., 0:1] + cxz[..., 1:2])
-            actual_xyz = jnp.concatenate([cxy, z], axis=-1)
-            losses += jsd_xy + jsd_zy + jsd_xz
-            losses += euclidean_losses(actual_xyz, target_xyz)
-        return losses
-    for xy_hm, zy_hm, xz_hm in zip(out.xy_heatmaps, out.zy_heatmaps, out.xz_heatmaps):
-        losses += _pixelwise_loss(pixelwise_loss, xy_hm, target_xy)
-        losses += _pixelwise_loss(pixelwise_loss, zy_hm, target_zy)
-        losses += _pixelwise_loss(pixelwise_loss, xz_hm, target_xz)
-        actual_xyz = heatmaps_to_coords(xy_hm, zy_hm, xz_hm)
-        losses += euclidean_losses(actual_xyz, target_xyz)
+    for px_xy, px_zy, px_xz, _, actual_xyz in _stage_components(
+            out, target_xyz, pixelwise_loss, use_fused):
+        losses += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
     return losses
 
 
@@ -388,8 +391,19 @@ def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.A
                           use_fused: bool | None = None) -> jax.Array:
     """Vectorised per-example 3D/2D loss switch + masked mean — replaces the
     reference's Python-level per-example branch
-    (reference: src/margipose/bin/train_3d.py:126-142)."""
-    losses_3d = margipose_3d_losses(out, target, pixelwise_loss, use_fused)
-    losses_2d = margipose_2d_losses(out, target, pixelwise_loss, use_fused)
+    (reference: src/margipose/bin/train_3d.py:126-142).
+
+    The per-plane DSNT/JSD components are computed once and assembled into
+    both the 3D and 2D variants (the xy terms are shared), rather than
+    running the two loss heads independently.
+    """
+    target_xyz = target[..., :3]
+    target_xy = target_xyz[..., 0:2]
+    losses_3d = 0.0
+    losses_2d = 0.0
+    for px_xy, px_zy, px_xz, cxy, actual_xyz in _stage_components(
+            out, target_xyz, pixelwise_loss, use_fused):
+        losses_3d += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
+        losses_2d += px_xy + euclidean_losses(cxy, target_xy)
     losses = jnp.where(valid_depth[:, None] == 1, losses_3d, losses_2d)
     return average_loss(losses, joint_mask)

@@ -41,12 +41,14 @@ def _coord_expectation(heatmaps: jax.Array, axis: int, transform=None) -> jax.Ar
     ``axis`` is an absolute axis index (>= 2). Returns shape
     ``heatmaps.shape[:2]``.
     """
-    other = tuple(a for a in _spatial_axes(heatmaps) if a != axis)
-    marginal = jnp.sum(heatmaps, axis=other) if other else heatmaps
     coords = normalized_linspace(heatmaps.shape[axis], heatmaps.dtype)
     if transform is not None:
         coords = transform(coords)
-    return jnp.sum(marginal * coords, axis=-1)
+    # Single fused multiply-reduce over all spatial axes (instead of
+    # marginalise-then-dot): one XLA reduction, and it avoids an axon AOT
+    # layout-assignment bug on the two-step reduce at batch 1.
+    shape = (-1,) + (1,) * (heatmaps.ndim - axis - 1)
+    return jnp.sum(heatmaps * coords.reshape(shape), axis=_spatial_axes(heatmaps))
 
 
 def coord_expectation(heatmaps: jax.Array, dim: int) -> jax.Array:

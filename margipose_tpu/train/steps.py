@@ -20,6 +20,7 @@ from flax import struct
 from margipose_tpu.models.margipose import (
     margipose_masked_loss,
 )
+from margipose_tpu.parallel.precision import compute_dtype_scope, resolve_dtype
 
 
 class TrainState(struct.PyTreeNode):
@@ -44,21 +45,28 @@ def create_train_state(model, rng, optimiser, input_shape=(1, 256, 256, 3),
     )
 
 
-def make_train_step(model, optimiser, pixelwise_loss="jsd", donate=True):
+def make_train_step(model, optimiser, pixelwise_loss="jsd", donate=True,
+                    compute_dtype=None):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``batch`` needs: input [B,H,W,3] f32, target [B,J,>=3] f32,
     joint_mask [B,J] f32, valid_depth [B] i32.
+
+    ``compute_dtype='bfloat16'`` enables mixed precision: params/activations
+    cast to bf16 inside the step (f32 master weights, f32 BN stats, f32
+    softmax/DSNT/loss — see margipose_tpu.parallel.precision).
     """
+    compute_dtype = resolve_dtype(compute_dtype)
 
     def train_step(state: TrainState, batch):
         def loss_fn(params):
-            (xyz, out), new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["input"],
-                train=True,
-                mutable=["batch_stats"],
-            )
+            with compute_dtype_scope(compute_dtype):
+                (xyz, out), new_model_state = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["input"].astype(compute_dtype or batch["input"].dtype),
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             loss = margipose_masked_loss(
                 out,
                 batch["target"][..., :3],
@@ -85,18 +93,20 @@ def make_train_step(model, optimiser, pixelwise_loss="jsd", donate=True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, pixelwise_loss="jsd"):
+def make_eval_step(model, pixelwise_loss="jsd", compute_dtype=None):
     """Jitted eval step: (params, batch_stats, batch) -> metrics dict with
     predictions and the 3D loss (reference: src/margipose/bin/eval_3d.py:59-63)."""
+    compute_dtype = resolve_dtype(compute_dtype)
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
-        (xyz, out), _ = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["input"],
-            train=False,
-            mutable=[],
-        )
+        with compute_dtype_scope(compute_dtype):
+            (xyz, out), _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["input"].astype(compute_dtype or batch["input"].dtype),
+                train=False,
+                mutable=[],
+            )
         loss = margipose_masked_loss(
             out,
             batch["target"][..., :3],
@@ -109,12 +119,16 @@ def make_eval_step(model, pixelwise_loss="jsd"):
     return eval_step
 
 
-def make_forward_fn(model):
+def make_forward_fn(model, compute_dtype=None):
     """Jitted inference-only forward: (variables, images) -> coords."""
+    compute_dtype = resolve_dtype(compute_dtype)
 
     @jax.jit
     def forward(variables, images):
-        xyz, _ = model.apply(variables, images, train=False)
-        return xyz
+        with compute_dtype_scope(compute_dtype):
+            xyz, _ = model.apply(
+                variables, images.astype(compute_dtype or images.dtype),
+                train=False)
+        return xyz.astype(jnp.float32)
 
     return forward
