@@ -81,7 +81,9 @@ ex.add_config(
     tags=[],
     quick=False,
     experiment_id=None,
-    weights=None,
+    weights=None,             # warm-start model weights only (reference semantics)
+    resume=None,              # checkpoint dir: restore FULL train state
+                              # (params, optimiser, step, epoch) and continue
     deterministic=False,
     train_examples=32000,
     val_examples=1600,
@@ -113,7 +115,14 @@ def run_training(cfg: dict) -> dict:
     # ---- Model ----
     model_desc = cfg['model_desc']
     init_variables = None
-    if cfg['weights'] is not None:
+    resume_meta = None
+    if cfg['resume'] is not None:
+        # Full-state resume — fixes the reference's asymmetry of saving but
+        # never restoring optimiser state and epoch
+        # (reference: src/margipose/bin/train_3d.py:285-291,374-382).
+        resume_meta = ckpt.load_meta(cfg['resume'])
+        model_desc = resume_meta['model_desc']
+    elif cfg['weights'] is not None:
         _, init_variables, model_desc = ckpt.load_model(cfg['weights'])
     model = create_model(model_desc)
     print(json.dumps(model_desc, sort_keys=True, indent=2))
@@ -153,6 +162,8 @@ def run_training(cfg: dict) -> dict:
     state = create_train_state(
         model, jax.random.PRNGKey(cfg['seed']), optimiser,
         input_shape=(1, h, w, 3), variables=init_variables and dict(init_variables))
+    if cfg['resume'] is not None:
+        state = ckpt.restore_checkpoint(cfg['resume'], state)
     state = TrainState(
         step=state.step,
         params=shard_variables(state.params, mesh),
@@ -173,8 +184,13 @@ def run_training(cfg: dict) -> dict:
             json.dump({k: v for k, v in cfg.items()}, f, indent=2, sort_keys=True,
                       default=str)
 
+    start_epoch = int(resume_meta.get('epoch', 0)) if resume_meta else 0
+    if start_epoch:
+        print(f'Resuming from epoch {start_epoch} (step {int(state.step)})')
+
     result = {}
-    for epoch in range(cfg['epochs']):
+    for epoch in range(start_epoch, cfg['epochs']):
+        tel.epoch = epoch  # keep sink labels aligned when resuming
         tel['epoch'].set_value(epoch)
         print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
 
