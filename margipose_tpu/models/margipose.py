@@ -41,11 +41,20 @@ Default_MargiPose_Desc = {
 
 
 class ModelOutput(NamedTuple):
-    """Per-stage heatmaps in [B, J, H, W] layout (post flat_softmax)."""
+    """Per-stage heatmaps in [B, J, H, W] layout (post flat_softmax).
+
+    ``stacked`` additionally carries the same heatmaps as per-stage
+    [3, B, H, W, J] arrays (plane order xy/zy/xz, NHWC) when the model
+    computes them natively in that layout (MargiPose does; Chatterbox does
+    not). The loss functions prefer ``stacked``: it needs no per-plane
+    transposes, and XLA dead-code-eliminates the compatibility [B, J, H, W]
+    fields inside jitted train steps where only ``stacked`` is consumed.
+    """
 
     xy_heatmaps: tuple
     zy_heatmaps: tuple
     xz_heatmaps: tuple
+    stacked: tuple = ()
 
 
 class ResMain(nn.Module):
@@ -176,10 +185,12 @@ class HeatmapCombiner(nn.Module):
     (reference: src/margipose/models/margipose_model.py:142-150)."""
 
     @nn.compact
-    def __call__(self, xy_hm, zy_hm, xz_hm):
-        # heatmaps arrive as [B, J, H, W]; combine in NHWC
-        cat = jnp.concatenate([xy_hm, zy_hm, xz_hm], axis=1)
-        cat = jnp.transpose(cat, (0, 2, 3, 1))
+    def __call__(self, stacked):
+        # stacked: [3, B, H, W, J] -> NHWC [B, H, W, 3J]; channel order
+        # (xy joints, zy joints, xz joints) matches the reference's
+        # torch.cat along the channel dim.
+        s, b, h, w, j = stacked.shape
+        cat = jnp.transpose(stacked, (1, 2, 3, 0, 4)).reshape(b, h, w, s * j)
         return TorchConv(128, 1, use_bias=False, name='conv')(cat)
 
 
@@ -218,6 +229,35 @@ class InceptionInCnn(nn.Module):
         return relu(x)
 
 
+# The three per-stage columns (xy/zy/xz) are structurally identical; batch
+# them into ONE set of vmapped ops with weights stacked on a leading axis of
+# size 3. On TPU this cuts the column op count 3x and triples the work per
+# convolution — the unbatched version is op-overhead-bound at 32x32 spatial.
+_VmapColumnDown = nn.vmap(
+    ColumnDown,
+    in_axes=(None, None), out_axes=0,
+    variable_axes={'params': 0, 'batch_stats': 0},
+    split_rngs={'params': True},
+    axis_size=3,
+)
+_VmapColumnUp = nn.vmap(
+    ColumnUp,
+    in_axes=(0, None), out_axes=0,
+    variable_axes={'params': 0, 'batch_stats': 0},
+    split_rngs={'params': True},
+    axis_size=3,
+)
+
+
+def flat_softmax_stacked(hms: jax.Array) -> jax.Array:
+    """Softmax jointly over (H, W) of [3, B, H, W, J] stacked heatmaps —
+    the NHWC-native counterpart of ops.dsnt.flat_softmax (no transposes)."""
+    s, b, h, w, j = hms.shape
+    flat = hms.reshape(s, b, h * w, j)
+    flat = jax.nn.softmax(flat, axis=2)
+    return flat.reshape(s, b, h, w, j)
+
+
 class MargiPoseModelInner(nn.Module):
     """(reference: src/margipose/models/margipose_model.py:153-200)"""
 
@@ -236,19 +276,12 @@ class MargiPoseModelInner(nn.Module):
                 'unsupported image feature extractor model name: ' + self.feature_extractor
             )
 
-        zy = 'zy' if self.axis_permutation else 'xy'
-        xz = 'xz' if self.axis_permutation else 'xy'
-
-        self.xy_hm_cnns = [
-            HeatmapColumn(self.n_joints, 'xy', name=f'xy_hm_cnns_{t}')
+        self.hm_cnns_down = [
+            _VmapColumnDown(name=f'hm_cnns_down_{t}')
             for t in range(self.n_stages)
         ]
-        self.zy_hm_cnns = [
-            HeatmapColumn(self.n_joints, zy, name=f'zy_hm_cnns_{t}')
-            for t in range(self.n_stages)
-        ]
-        self.xz_hm_cnns = [
-            HeatmapColumn(self.n_joints, xz, name=f'xz_hm_cnns_{t}')
+        self.hm_cnns_up = [
+            _VmapColumnUp(self.n_joints, name=f'hm_cnns_up_{t}')
             for t in range(self.n_stages)
         ]
         self.hm_combiners = [
@@ -259,25 +292,32 @@ class MargiPoseModelInner(nn.Module):
     def __call__(self, x, train: bool = False) -> ModelOutput:
         features = self.in_cnn(x, train)
 
-        xy_heatmaps, zy_heatmaps, xz_heatmaps = [], [], []
+        if self.axis_permutation:
+            modes = ('xy', 'zy', 'xz')
+        else:
+            modes = ('xy', 'xy', 'xy')
+
+        stacked = []
         inp = features
         for t in range(self.n_stages):
             if t > 0:
-                inp = features + self.hm_combiners[t - 1](
-                    xy_heatmaps[t - 1], zy_heatmaps[t - 1], xz_heatmaps[t - 1]
-                )
+                inp = features + self.hm_combiners[t - 1](stacked[t - 1])
+            mids = self.hm_cnns_down[t](inp, train)  # [3, B, h, w, C]
+            mids = jnp.stack(
+                [permute_axis_nhwc(mids[i], m) for i, m in enumerate(modes)])
+            hms = self.hm_cnns_up[t](mids, train)  # [3, B, H, W, J]
+            # softmax in f32 for numerical stability under bf16 compute
+            stacked.append(flat_softmax_stacked(hms.astype(jnp.float32)))
 
-            def head(column, inp):
-                hm = column(inp, train)  # [B, H, W, J]
-                hm = jnp.transpose(hm, (0, 3, 1, 2))  # [B, J, H, W]
-                # softmax in f32 for numerical stability under bf16 compute
-                return flat_softmax(hm.astype(jnp.float32))
+        def unstack(i):
+            return tuple(jnp.transpose(s[i], (0, 3, 1, 2)) for s in stacked)
 
-            xy_heatmaps.append(head(self.xy_hm_cnns[t], inp))
-            zy_heatmaps.append(head(self.zy_hm_cnns[t], inp))
-            xz_heatmaps.append(head(self.xz_hm_cnns[t], inp))
-
-        return ModelOutput(tuple(xy_heatmaps), tuple(zy_heatmaps), tuple(xz_heatmaps))
+        return ModelOutput(
+            xy_heatmaps=unstack(0),
+            zy_heatmaps=unstack(1),
+            xz_heatmaps=unstack(2),
+            stacked=tuple(stacked),
+        )
 
 
 def heatmaps_to_coords(xy_hm, zy_hm, xz_hm) -> jax.Array:
@@ -288,6 +328,30 @@ def heatmaps_to_coords(xy_hm, zy_hm, xz_hm) -> jax.Array:
     xz = dsnt(xz_hm)
     z = 0.5 * (zy[..., 0:1] + xz[..., 1:2])
     return jnp.concatenate([xy, z], axis=-1)
+
+
+def _stacked_expectations(stacked: jax.Array):
+    """DSNT coordinate expectations for all three planes at once.
+
+    ``stacked``: [3, B, H, W, J] normalized heatmaps. Returns (ew, eh), each
+    [3, B, J] — the per-plane expectations along the width / height axes.
+    """
+    from margipose_tpu.ops.dsnt import normalized_linspace
+
+    _, _, h, w, _ = stacked.shape
+    cw = normalized_linspace(w, stacked.dtype)
+    ch = normalized_linspace(h, stacked.dtype)
+    ew = jnp.einsum('sbhwj,w->sbj', stacked, cw)
+    eh = jnp.einsum('sbhwj,h->sbj', stacked, ch)
+    return ew, eh
+
+
+def stacked_heatmaps_to_coords(stacked: jax.Array) -> jax.Array:
+    """[3, B, H, W, J] stacked heatmaps -> [B, J, 3] coords (same math as
+    heatmaps_to_coords, two fused reductions instead of six)."""
+    ew, eh = _stacked_expectations(stacked)
+    z = 0.5 * (ew[1] + eh[2])
+    return jnp.stack([ew[0], eh[0], z], axis=-1)
 
 
 class MargiPoseModel(nn.Module):
@@ -307,9 +371,7 @@ class MargiPoseModel(nn.Module):
 
     def __call__(self, x, train: bool = False):
         out = self.inner(x, train)
-        xyz = heatmaps_to_coords(
-            out.xy_heatmaps[-1], out.zy_heatmaps[-1], out.xz_heatmaps[-1]
-        )
+        xyz = stacked_heatmaps_to_coords(out.stacked[-1])
         return xyz, out
 
 
@@ -357,6 +419,56 @@ def _stage_components(out: ModelOutput, target_xyz: jax.Array,
         yield px_xy, px_zy, px_xz, cxy, actual_xyz
 
 
+_EPS = 1e-24
+
+
+def _stacked_js(stacked: jax.Array, target_xyz: jax.Array, sigma) -> jax.Array:
+    """JS divergence of [3, B, H, W, J] heatmaps against separable target
+    Gaussians rendered inline per plane (xy/zy/xz). Returns [3, B, J].
+
+    Same math as ops.dsnt.js_reg_losses/make_gauss but NHWC-native — no
+    transposes, no per-plane dispatch, one fused reduction per term.
+    """
+    _, _, h, w, _ = stacked.shape
+    from margipose_tpu.ops.dsnt import normalized_linspace
+
+    tx, ty, tz = target_xyz[..., 0], target_xyz[..., 1], target_xyz[..., 2]
+    tw = jnp.stack([tx, tz, tx])  # [3, B, J] width-axis targets
+    th = jnp.stack([ty, ty, tz])  # [3, B, J] height-axis targets
+
+    cw = normalized_linspace(w, stacked.dtype)
+    ch = normalized_linspace(h, stacked.dtype)
+    kw = -0.5 * (w / (2.0 * sigma)) ** 2
+    kh = -0.5 * (h / (2.0 * sigma)) ** 2
+    gw = jnp.exp(kw * (cw[:, None] - tw[:, :, None, :]) ** 2)  # [3,B,W,J]
+    gh = jnp.exp(kh * (ch[:, None] - th[:, :, None, :]) ** 2)  # [3,B,H,J]
+    q = gh[:, :, :, None, :] * gw[:, :, None, :, :]  # [3,B,H,W,J]
+    q = q / (jnp.sum(q, axis=(2, 3), keepdims=True) + _EPS)
+
+    p = stacked
+    m = 0.5 * (p + q)
+    log_m = jnp.log(m + _EPS)
+    kl_pm = jnp.sum(p * (jnp.log(p + _EPS) - log_m), axis=(2, 3))
+    kl_qm = jnp.sum(q * (jnp.log(q + _EPS) - log_m), axis=(2, 3))
+    return 0.5 * kl_pm + 0.5 * kl_qm  # [3, B, J]
+
+
+def _stacked_stage_terms(stacked, target_xyz, pixelwise_loss, sigma=1.0):
+    """Loss ingredients for one stage of [3, B, H, W, J] heatmaps:
+    (px [3, B, J], actual_xy [B, J, 2], actual_xyz [B, J, 3])."""
+    ew, eh = _stacked_expectations(stacked)
+    actual_xy = jnp.stack([ew[0], eh[0]], axis=-1)
+    actual_xyz = jnp.stack([ew[0], eh[0], 0.5 * (ew[1] + eh[2])], axis=-1)
+    if pixelwise_loss == 'jsd':
+        px = _stacked_js(stacked, target_xyz, sigma)
+    elif pixelwise_loss is None:
+        px = jnp.zeros(
+            (3,) + stacked.shape[1:2] + stacked.shape[-1:], stacked.dtype)
+    else:
+        raise ValueError(f'unrecognised pixelwise loss: {pixelwise_loss}')
+    return px, actual_xy, actual_xyz
+
+
 def margipose_2d_losses(out: ModelOutput, target: jax.Array,
                         pixelwise_loss: str | None = 'jsd',
                         use_fused: bool | None = None) -> jax.Array:
@@ -365,6 +477,12 @@ def margipose_2d_losses(out: ModelOutput, target: jax.Array,
     target_xy = target[..., :2]
     pad = jnp.zeros_like(target_xy[..., :1])
     losses = 0.0
+    if out.stacked:
+        target_xyz = jnp.concatenate([target_xy, pad], axis=-1)
+        for s in out.stacked:
+            px, cxy, _ = _stacked_stage_terms(s, target_xyz, pixelwise_loss)
+            losses += px[0] + euclidean_losses(cxy, target_xy)
+        return losses
     for px_xy, _, _, cxy, _ in _stage_components(
             out, jnp.concatenate([target_xy, pad], axis=-1),
             pixelwise_loss, use_fused):
@@ -379,6 +497,11 @@ def margipose_3d_losses(out: ModelOutput, target: jax.Array,
     (reference: src/margipose/models/margipose_model.py:236-252)."""
     target_xyz = target[..., :3]
     losses = 0.0
+    if out.stacked:
+        for s in out.stacked:
+            px, _, actual_xyz = _stacked_stage_terms(s, target_xyz, pixelwise_loss)
+            losses += jnp.sum(px, axis=0) + euclidean_losses(actual_xyz, target_xyz)
+        return losses
     for px_xy, px_zy, px_xz, _, actual_xyz in _stage_components(
             out, target_xyz, pixelwise_loss, use_fused):
         losses += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
@@ -401,9 +524,15 @@ def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.A
     target_xy = target_xyz[..., 0:2]
     losses_3d = 0.0
     losses_2d = 0.0
-    for px_xy, px_zy, px_xz, cxy, actual_xyz in _stage_components(
-            out, target_xyz, pixelwise_loss, use_fused):
-        losses_3d += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
-        losses_2d += px_xy + euclidean_losses(cxy, target_xy)
+    if out.stacked:
+        for s in out.stacked:
+            px, cxy, actual_xyz = _stacked_stage_terms(s, target_xyz, pixelwise_loss)
+            losses_3d += jnp.sum(px, axis=0) + euclidean_losses(actual_xyz, target_xyz)
+            losses_2d += px[0] + euclidean_losses(cxy, target_xy)
+    else:
+        for px_xy, px_zy, px_xz, cxy, actual_xyz in _stage_components(
+                out, target_xyz, pixelwise_loss, use_fused):
+            losses_3d += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
+            losses_2d += px_xy + euclidean_losses(cxy, target_xy)
     losses = jnp.where(valid_depth[:, None] == 1, losses_3d, losses_2d)
     return average_loss(losses, joint_mask)

@@ -46,6 +46,34 @@ _TRANSPOSE_PATTERNS = [
 ]
 
 
+# MargiPose stacks the three per-stage columns (xy/zy/xz) on a leading axis
+# of size 3 via nn.vmap (see models/margipose.py); one flax leaf corresponds
+# to THREE torch keys in this plane order.
+_STACK_PLANES = ("xy", "zy", "xz")
+_STACKED_COLUMN_RE = re.compile(r"hm_cnns_(down|up)_(\d+)")
+
+
+def flax_path_to_torch_keys(path: tuple[str, ...]) -> list[str]:
+    """Map a flax variable path to the reference torch state_dict key(s).
+
+    Returns one key for ordinary leaves, or three (xy/zy/xz) for the
+    vmapped column leaves whose values are stacked on a leading axis."""
+    for i, c in enumerate(path):
+        m = _STACKED_COLUMN_RE.fullmatch(c)
+        if m:
+            section = f"{m.group(1)}_layers"  # down_layers / up_layers
+            stage = m.group(2)
+            return [
+                flax_path_to_torch_key(
+                    path[:i]
+                    + (f"{plane}_hm_cnns_{stage}", section)
+                    + path[i + 1:]
+                )
+                for plane in _STACK_PLANES
+            ]
+    return [flax_path_to_torch_key(path)]
+
+
 def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     """Map a flax variable path to the reference torch state_dict key."""
     comps = [c for c in path if c not in _DROP_COMPONENTS]
@@ -110,29 +138,30 @@ def convert_state_dict(flax_variables, torch_state_dict) -> dict:
     for collection, tree in flax_variables.items():
         flat_out = {}
         for path, value in _flatten(tree):
-            key = flax_path_to_torch_key(path)
-            if key not in torch_state:
-                raise KeyError(
-                    f"torch checkpoint is missing '{key}' "
-                    f"(for flax {collection}/{'/'.join(path)})"
-                )
-            w = torch_state[key]
-            used.add(key)
-            if w.ndim == 4 and path[-1] == "weight":
-                if _is_transpose_conv(key):
-                    w2 = torch_convtranspose_weight_to_hwio(w)
-                else:
-                    w2 = torch_conv_weight_to_hwio(w)
-                if w2.shape != value.shape:
-                    raise ValueError(
-                        f"shape mismatch for {key}: converted {w2.shape} "
-                        f"vs expected {value.shape}"
+            keys = flax_path_to_torch_keys(path)
+            stacked = len(keys) > 1
+            expected = np.asarray(value).shape[1:] if stacked else np.asarray(value).shape
+            parts = []
+            for key in keys:
+                if key not in torch_state:
+                    raise KeyError(
+                        f"torch checkpoint is missing '{key}' "
+                        f"(for flax {collection}/{'/'.join(path)})"
                     )
-                w = w2
-            elif w.shape != value.shape:
-                raise ValueError(
-                    f"shape mismatch for {key}: {w.shape} vs expected {value.shape}"
-                )
+                w = torch_state[key]
+                used.add(key)
+                if w.ndim == 4 and path[-1] == "weight":
+                    if _is_transpose_conv(key):
+                        w = torch_convtranspose_weight_to_hwio(w)
+                    else:
+                        w = torch_conv_weight_to_hwio(w)
+                if w.shape != expected:
+                    raise ValueError(
+                        f"shape mismatch for {key}: {w.shape} "
+                        f"vs expected {expected}"
+                    )
+                parts.append(w)
+            w = np.stack(parts) if stacked else parts[0]
             flat_out[path] = np.asarray(w, dtype=np.asarray(value).dtype)
         out[collection] = _unflatten(flat_out)
 

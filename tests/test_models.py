@@ -116,3 +116,58 @@ def test_masked_loss_and_grads():
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_stacked_losses_match_per_plane():
+    """The stacked NHWC loss path (production) must match the per-plane
+    [B,J,H,W] reference implementation on identical heatmaps."""
+    from margipose_tpu.models.margipose import (
+        margipose_2d_losses,
+        margipose_3d_losses,
+        stacked_heatmaps_to_coords,
+    )
+
+    model = MargiPoseModel(n_joints=17, n_stages=2, feature_extractor='resnet18')
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (xyz, out), _ = model.apply(variables, x, mutable=['batch_stats'])
+
+    # compat fields are consistent with the stacked representation
+    assert len(out.stacked) == 2
+    assert_allclose(
+        np.asarray(out.xy_heatmaps[-1]),
+        np.asarray(jnp.transpose(out.stacked[-1][0], (0, 3, 1, 2))))
+
+    # coords agree between the stacked and per-plane computations
+    xyz_plane = heatmaps_to_coords(
+        out.xy_heatmaps[-1], out.zy_heatmaps[-1], out.xz_heatmaps[-1])
+    assert_allclose(np.asarray(xyz), np.asarray(xyz_plane), atol=1e-5)
+    assert_allclose(np.asarray(stacked_heatmaps_to_coords(out.stacked[-1])),
+                    np.asarray(xyz_plane), atol=1e-5)
+
+    target = jax.random.uniform(jax.random.PRNGKey(2), (2, 17, 3),
+                                minval=-0.9, maxval=0.9)
+    out_plane = out._replace(stacked=())
+    for fn in (margipose_3d_losses, margipose_2d_losses):
+        l_stacked = fn(out, target)
+        l_plane = fn(out_plane, target, use_fused=False)
+        assert_allclose(np.asarray(l_stacked), np.asarray(l_plane),
+                        rtol=1e-4, atol=1e-6)
+
+
+def test_vmapped_columns_match_standalone():
+    """The vmapped (weight-stacked) columns compute exactly what three
+    standalone columns with the same weights compute."""
+    from margipose_tpu.models.margipose import ColumnDown, _VmapColumnDown
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 128))
+    vcol = _VmapColumnDown()
+    variables = vcol.init(jax.random.PRNGKey(0), x, False)
+    stacked_out = vcol.apply(variables, x, False)
+    assert stacked_out.shape[0] == 3
+
+    single = ColumnDown()
+    for i in range(3):
+        vs_i = jax.tree.map(lambda a: a[i], variables)
+        out_i = single.apply(vs_i, x, False)
+        assert_allclose(np.asarray(stacked_out[i]), np.asarray(out_i), atol=1e-6)

@@ -119,16 +119,21 @@ def test_full_model_key_mapping_structural():
     model = MargiPoseModel(n_joints=17, n_stages=2, feature_extractor='inceptionv4')
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-    from margipose_tpu.train.torch_import import _flatten
+    from margipose_tpu.train.torch_import import _flatten, flax_path_to_torch_keys
 
     keys = {}
     for collection, tree in template.items():
         for path, value in _flatten(tree):
-            key = flax_path_to_torch_key(path)
-            # params and batch_stats never collide except BN weight/bias vs
-            # stats, which have distinct torch names
-            assert key not in keys, f'duplicate torch key {key}'
-            keys[key] = (collection, path, np.asarray(value).shape)
+            tkeys = flax_path_to_torch_keys(path)
+            shape = np.asarray(value).shape
+            if len(tkeys) > 1:  # vmapped column leaf: [3, ...] -> per-plane
+                assert shape[0] == len(tkeys)
+                shape = shape[1:]
+            for key in tkeys:
+                # params and batch_stats never collide except BN weight/bias
+                # vs stats, which have distinct torch names
+                assert key not in keys, f'duplicate torch key {key}'
+                keys[key] = (collection, path, shape)
 
     # spot-check known reference key spellings
     expected_samples = [
