@@ -12,8 +12,16 @@ train-step throughput go to stderr.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md) and no
 CUDA GPU exists in this environment, so the recorded baseline is this
-framework's own round-1 f32 measurement stored in bench_baseline.json —
-i.e. vs_baseline tracks round-over-round improvement.
+framework's own f32 measurement stored in bench_baseline.json — i.e.
+vs_baseline tracks round-over-round improvement.
+
+Measurement method: remote-TPU runtimes can signal buffer readiness before
+device execution completes, making ``block_until_ready``-based timing
+report impossibly fast numbers (verified against jax.profiler device
+spans). Timing here therefore enqueues N executions on the device's FIFO
+queue and ends with ONE device->host scalar read, which cannot complete
+until everything enqueued before it has executed; the measured per-call
+relay read latency is subtracted once.
 """
 
 from __future__ import annotations
@@ -31,17 +39,43 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _bench(fn, args, iters=20, warmup=3):
+_READ_LATENCY = None
+
+
+def _sync(out):
+    """Force a real device->host read of one scalar derived from ``out``."""
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
+
+
+def _read_latency():
+    """Measured cost of one device->host scalar read (relay round-trip)."""
+    global _READ_LATENCY
+    if _READ_LATENCY is None:
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8,))
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _sync(x + 1.0)
+        _READ_LATENCY = (time.perf_counter() - t0) / 5
+        log(f"device->host read latency: {_READ_LATENCY * 1e3:.1f} ms")
+    return _READ_LATENCY
+
+
+def _bench(fn, args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+    _sync(out)  # FIFO queue: completes only after all enqueued executions
+    total = time.perf_counter() - start - _read_latency()
+    return max(total, 1e-9) / iters
 
 
 def main():
@@ -85,9 +119,9 @@ def main():
     for prec in (["float32", "bfloat16"] if on_tpu else ["float32"]):
         forward = make_forward_fn(model, compute_dtype=prec)
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(variables, images))
+        _sync(forward(variables, images))
         log(f"forward[{prec}] compile: {time.perf_counter() - t0:.1f}s")
-        t = _bench(forward, (variables, images))
+        t = _bench(forward, (variables, images), iters=50)
         results[prec] = batch / t
         log(f"inference[{prec}]: batch {batch}, {t * 1e3:.2f} ms/step, "
             f"{batch / t:.1f} images/sec")
@@ -115,7 +149,7 @@ def main():
             return metrics["loss"]
 
         t0 = time.perf_counter()
-        jax.block_until_ready(step(state, train_batch))
+        _sync(step(state, train_batch))
         log(f"train[{prec}] compile: {time.perf_counter() - t0:.1f}s")
         t_train = _bench(step, (state, train_batch), iters=10, warmup=2)
         train_ips[prec] = batch / t_train

@@ -52,20 +52,34 @@ def obtain_predictions(forward, pixelwise_loss, loader, known_depth=False,
         except ImportError:
             pass
 
+    timed_batches = 0
     for batch in iterable:
         import jax.numpy as jnp
 
         in_var = jnp.asarray(batch['input'])
         target = jnp.asarray(batch['target'][..., :3])
-
-        start_time = perf_counter()
-        xyz, out = forward(in_var)
-        xyz.block_until_ready()
-        inference_time = perf_counter() - start_time
-
         valid_depth = jnp.asarray(np.asarray(batch['valid_depth'], np.int32))
         mask = jnp.asarray(batch['joint_mask'])
-        loss = float(margipose_masked_loss(out, target, mask, valid_depth))
+
+        inference_time = None
+        if timed_batches < 3:
+            # Remote TPU runtimes signal buffer readiness before execution
+            # finishes, so a single timed call is unreliable. Enqueue K
+            # forwards on the device FIFO queue and end with one real
+            # device->host read; the relay round-trip amortises over K
+            # (see bench.py for the same method).
+            K = 8
+            xyz, loss = forward(in_var, target, mask, valid_depth)
+            float(loss)  # warm + sync
+            t0 = perf_counter()
+            for _ in range(K):
+                xyz, loss = forward(in_var, target, mask, valid_depth)
+            float(loss)
+            inference_time = (perf_counter() - t0) / K
+            timed_batches += 1
+
+        xyz, loss = forward(in_var, target, mask, valid_depth)
+        loss = float(loss)  # real sync: completes only after the forward
 
         norm_preds = ensure_homogeneous(np.asarray(xyz, np.float64), d=3)
 
@@ -100,7 +114,8 @@ def run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
 
     for pred in obtain_predictions(forward, pixelwise_loss, loader, known_depth,
                                    print_progress):
-        time_meter.add(pred['inference_time'])
+        if pred['inference_time'] is not None:
+            time_meter.add(pred['inference_time'])
         loss_meter.add(pred['loss'])
         metrics = gather_3d_metrics(pred['expected'], pred['actual'], included_joints)
         if pred['frame_ref']:
@@ -127,6 +142,7 @@ def _print_table(df):
 
 def main(argv, common_opts):
     import jax
+    import jax.numpy as jnp
 
     args = parse_args(argv)
     seed_all(12345)
@@ -155,15 +171,21 @@ def main(argv, common_opts):
 
     compute_dtype = resolve_dtype(args.precision)
 
+    pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
+
     @jax.jit
-    def jitted(images):
+    def jitted(images, target, mask, valid_depth):
         with compute_dtype_scope(compute_dtype):
-            return model.apply(
+            xyz, out = model.apply(
                 variables, images.astype(compute_dtype or images.dtype),
                 train=False)
+        # loss computed inside the jit — eagerly it would dispatch dozens of
+        # tiny ops per batch through the device runtime
+        loss = margipose_masked_loss(out, target, mask, valid_depth,
+                                     pixelwise_loss)
+        return xyz.astype(jnp.float32), loss
 
-    forward = lambda images: jitted(images)
-    pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
+    forward = jitted
 
     df, stats = run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
                                   known_depth=known_depth, print_progress=True)

@@ -224,6 +224,8 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
                      exp_out_dir):
     import time
 
+    import jax.numpy as jnp
+
     vis_done = False
     batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
     i = 0
@@ -235,8 +237,29 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
         # viewable with tensorboard or xprof.
         jax.profiler.start_trace(path.join(exp_out_dir, 'profile'))
         profiling = True
+
+    # Device->host reads are expensive (a full relay round-trip on remote
+    # TPU runtimes); reading the loss scalar every step would serialise the
+    # pipeline. Losses stay on device and are drained in one batched
+    # transfer every `metrics_every` steps.
+    pending_losses = []
+    window_t0 = time.perf_counter()
+    window_images = 0
+
+    def drain_window():
+        nonlocal window_t0, window_images
+        if not pending_losses:
+            return
+        losses = np.asarray(jnp.stack(pending_losses))  # one transfer
+        dt = time.perf_counter() - window_t0
+        tel['train_loss'].add(float(losses.mean()))
+        tel['step_time'].add(dt / len(pending_losses))
+        tel['train_images_per_sec'].add(window_images / dt)
+        pending_losses.clear()
+        window_t0 = time.perf_counter()
+        window_images = 0
+
     for batch in generator_timer(batch_iter, tel['data_load_time']):
-        t0 = time.perf_counter()
         device_batch = {
             'input': batch['input'],
             'target': batch['target'],
@@ -244,12 +267,8 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             'valid_depth': np.asarray(batch['valid_depth'], np.int32),
         }
         state, metrics = train_step(state, device_batch)
-
-        loss = float(metrics['loss'])  # sync point
-        step_time = time.perf_counter() - t0
-        tel['train_loss'].add(loss)
-        tel['step_time'].add(step_time)
-        tel['train_images_per_sec'].add(len(batch['valid_depth']) / step_time)
+        pending_losses.append(metrics['loss'])
+        window_images += len(batch['valid_depth'])
 
         if i % cfg['metrics_every'] == 0:
             with timer(tel['eval_time']):
@@ -260,11 +279,13 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
                 save_image_grid(images,
                                 path.join(exp_out_dir, 'train_examples.png'))
                 vis_done = True
+            drain_window()
         i += 1
         if profiling and i >= profile_steps:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             profiling = False
+    drain_window()
     if profiling:
         jax.profiler.stop_trace()
     return state
