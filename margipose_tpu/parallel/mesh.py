@@ -49,13 +49,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _param_spec(path: tuple, value, model_axis_size: int) -> P:
-    """Tensor-parallel rule: shard 4D conv kernels' output-channel dim over
-    'model' when divisible; replicate everything else."""
+    """Tensor-parallel rule: shard conv kernels' output-channel (minor) dim
+    over 'model' when divisible; replicate everything else. Kernels are 4D
+    (HWIO) or 5D for the vmapped column stacks ([3, H, W, I, O])."""
     v = np.asarray(value) if not hasattr(value, "shape") else value
-    if model_axis_size > 1 and getattr(v, "ndim", 0) == 4:
+    ndim = getattr(v, "ndim", 0)
+    if model_axis_size > 1 and ndim in (4, 5):
         out_ch = v.shape[-1]
         if out_ch % model_axis_size == 0 and out_ch >= 2 * model_axis_size:
-            return P(None, None, None, "model")
+            return P(*([None] * (ndim - 1)), "model")
     return P()
 
 
