@@ -81,15 +81,54 @@ def deploy_tpu_vm(args) -> int:
     return 0
 
 
+# GKE nodeSelector label values per TPU family
+# (cloud.google.com/gke-tpu-accelerator).
+_GKE_ACCELERATORS = {
+    "v5litepod": "tpu-v5-lite-podslice",
+    "v5p": "tpu-v5p-slice",
+    "v4": "tpu-v4-podslice",
+    "v6e": "tpu-v6e-slice",
+}
+
+# Standard v5e slice topologies by chip count.
+_V5E_TOPOLOGIES = {1: "1x1", 4: "2x2", 8: "2x4", 16: "4x4", 32: "4x8",
+                   64: "8x8", 128: "8x16", 256: "16x16"}
+
+
 def gke_manifest(args) -> str:
-    """A single-job manifest requesting a TPU slice; multi-host slices get
-    one pod per host via completions/parallelism + headless service
-    (subdomain) for jax.distributed bootstrap."""
-    chips_per_host = 4
-    n_chips = int(args.accelerator_type.split("-")[-1])
+    """An Indexed Job requesting a TPU slice (one pod per host) plus the
+    headless Service GKE needs to give pods stable hostnames. On GKE the TPU
+    device plugin injects TPU_WORKER_ID / TPU_WORKER_HOSTNAMES into the
+    pods, and the trainer calls jax.distributed.initialize() when it sees a
+    multi-host environment (margipose_tpu/bin/train_3d.py)."""
+    family, _, chips = args.accelerator_type.rpartition("-")
+    n_chips = int(chips)
+    gke_accel = _GKE_ACCELERATORS.get(family)
+    if gke_accel is None:
+        raise SystemExit(
+            f"unknown accelerator family {family!r}; known: "
+            f"{sorted(_GKE_ACCELERATORS)}")
+    topology = args.topology
+    if topology is None:
+        if family != "v5litepod" or n_chips not in _V5E_TOPOLOGIES:
+            raise SystemExit(
+                f"--topology is required for {args.accelerator_type}")
+        topology = _V5E_TOPOLOGIES[n_chips]
+    # v5e: single-host machines carry up to 8 chips; larger slices have 4
+    # chips per host.
+    chips_per_host = n_chips if n_chips <= 8 else 4
     n_hosts = max(1, n_chips // chips_per_host)
-    cmd = " ".join(shlex.quote(c) for c in args.command)
+    arg_list = "[" + ", ".join(repr(c) for c in args.command) + "]"
     return f"""\
+apiVersion: v1
+kind: Service
+metadata:
+  name: {args.name}
+spec:
+  clusterIP: None
+  selector:
+    app: {args.name}
+---
 apiVersion: batch/v1
 kind: Job
 metadata:
@@ -106,12 +145,13 @@ spec:
       restartPolicy: Never
       subdomain: {args.name}
       nodeSelector:
-        cloud.google.com/gke-tpu-accelerator: {args.accelerator_type.rsplit('-', 1)[0]}
-        cloud.google.com/gke-tpu-topology: {args.topology or 'auto'}
+        cloud.google.com/gke-tpu-accelerator: {gke_accel}
+        cloud.google.com/gke-tpu-topology: {topology}
       containers:
       - name: train
         image: {args.image}
-        args: [{cmd and ', '.join(repr(c) for c in args.command)}]
+        command: ["./run.sh"]
+        args: {arg_list}
         resources:
           requests: {{"google.com/tpu": "{chips_per_host}"}}
           limits: {{"google.com/tpu": "{chips_per_host}"}}

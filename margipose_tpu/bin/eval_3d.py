@@ -40,7 +40,7 @@ def parse_args(argv):
     return parser.parse_args(argv[1:])
 
 
-def obtain_predictions(forward, pixelwise_loss, loader, known_depth=False,
+def obtain_predictions(forward, loader, known_depth=False,
                        print_progress=False):
     """(reference: src/margipose/bin/eval_3d.py:48-94)"""
     iterable = loader
@@ -66,16 +66,20 @@ def obtain_predictions(forward, pixelwise_loss, loader, known_depth=False,
             # Remote TPU runtimes signal buffer readiness before execution
             # finishes, so a single timed call is unreliable. Enqueue K
             # forwards on the device FIFO queue and end with one real
-            # device->host read; the relay round-trip amortises over K
-            # (see bench.py for the same method).
+            # device->host read, then subtract that read's measured
+            # round-trip latency (same method as bench.py).
             K = 8
             xyz, loss = forward(in_var, target, mask, valid_depth)
             float(loss)  # warm + sync
             t0 = perf_counter()
+            for _ in range(3):
+                float((loss + 1.0))
+            read_latency = (perf_counter() - t0) / 3
+            t0 = perf_counter()
             for _ in range(K):
                 xyz, loss = forward(in_var, target, mask, valid_depth)
             float(loss)
-            inference_time = (perf_counter() - t0) / K
+            inference_time = max(perf_counter() - t0 - read_latency, 0.0) / K
             timed_batches += 1
 
         xyz, loss = forward(in_var, target, mask, valid_depth)
@@ -104,7 +108,7 @@ def obtain_predictions(forward, pixelwise_loss, loader, known_depth=False,
                    inference_time=inference_time, loss=loss)
 
 
-def run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
+def run_evaluation_3d(forward, loader, included_joints,
                       known_depth=False, print_progress=False):
     """(reference: src/margipose/bin/eval_3d.py:97-118)"""
     loss_meter = MeanValueMeter()
@@ -112,7 +116,7 @@ def run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
     d = dict(seq_id=[], activity_id=[], aligned_auc=[], aligned_mpjpe=[],
              aligned_pck=[], auc=[], mpjpe=[], pck=[])
 
-    for pred in obtain_predictions(forward, pixelwise_loss, loader, known_depth,
+    for pred in obtain_predictions(forward, loader, known_depth,
                                    print_progress):
         if pred['inference_time'] is not None:
             time_meter.add(pred['inference_time'])
@@ -187,7 +191,7 @@ def main(argv, common_opts):
 
     forward = jitted
 
-    df, stats = run_evaluation_3d(forward, pixelwise_loss, loader, included_joints,
+    df, stats = run_evaluation_3d(forward, loader, included_joints,
                                   known_depth=known_depth, print_progress=True)
 
     print('### By sequence\n')

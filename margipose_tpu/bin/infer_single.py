@@ -38,26 +38,37 @@ def parse_args(argv):
 
 
 def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
-    """Thumbnail + normalise + forward. Returns (input_array, coords [17,3])."""
+    """Resize + normalise (on device) + forward.
+    Returns (input_array, coords [17,3])."""
     import jax
     import jax.numpy as jnp
 
+    from margipose_tpu.ops.image import device_augment
+
     specs = data_specs_for_desc(model_desc) if model_desc else default_data_specs()
     input_specs: ImageSpecs = specs.input_specs
-    image = image.copy()
-    image.thumbnail((input_specs.width, input_specs.height))
-    # pad to the full input size so the compiled shape is static
-    canvas = PIL.Image.new('RGB', (input_specs.width, input_specs.height))
-    canvas.paste(image, (0, 0))
-    inp = input_specs.convert(canvas)
+    w, h = input_specs.width, input_specs.height
+
+    # Thumbnail scale factor (preserve aspect, fit within the model input,
+    # content at the top-left like the reference's image.thumbnail + paste).
+    src = np.asarray(image.convert('RGB'), np.float32) / 255.0
+    scale = min(w / src.shape[1], h / src.shape[0], 1.0)
+    affine = jnp.asarray(
+        [[scale, 0.0, 0.0], [0.0, scale, 0.0], [0.0, 0.0, 1.0]],
+        jnp.float32)
 
     @jax.jit
-    def forward(images):
-        xyz, _ = model.apply(variables, images, train=False)
-        return xyz
+    def forward(raw, affine):
+        # resize + ImageNet-normalise fused into the same XLA program as
+        # the model forward (margipose_tpu/ops/image.py)
+        inp = device_augment(raw[None], affine[None], h, w,
+                             brightness=1.0, contrast=1.0, saturation=1.0,
+                             hue=0.0, mean=input_specs.mean, std=input_specs.stddev)
+        xyz, _ = model.apply(variables, inp, train=False)
+        return inp[0], xyz[0]
 
-    output = forward(jnp.asarray(inp[None]))[0]
-    return inp, np.asarray(output, dtype=np.float64)
+    inp, output = forward(jnp.asarray(src), affine)
+    return np.asarray(inp), np.asarray(output, dtype=np.float64)
 
 
 def main(argv, common_opts):

@@ -92,17 +92,38 @@ ex.add_config(
     num_workers=4,
     metrics_every=10,          # batches between host-side mpjpe/pck evals
     checkpoint_every=1,        # epochs between checkpoint saves
-    precision='bfloat16' if jax.default_backend() == 'tpu' else 'float32',
-    # mixed-precision compute dtype; master weights/BN stats stay float32
-    # (margipose_tpu/parallel/precision.py)
+    precision=None,            # mixed-precision compute dtype; None resolves
+                               # lazily to bfloat16 on TPU / float32 elsewhere
+                               # (must NOT touch jax at import time — that
+                               # would initialise the backend before the
+                               # --device flag is applied). Master weights and
+                               # BN stats stay float32 either way
+                               # (margipose_tpu/parallel/precision.py)
     profile_steps=0,           # >0: capture a jax.profiler trace of that many
                                # batches in epoch 0 to <out_dir>/profile
 )
 
 
 def run_training(cfg: dict) -> dict:
+    import os
+
+    # Multi-host TPU slice (e.g. the GKE manifest from deploy/tpu_vm.py):
+    # the TPU runtime injects TPU_WORKER_HOSTNAMES; form the global mesh
+    # before any other jax call.
+    if ',' in os.environ.get('TPU_WORKER_HOSTNAMES', ''):
+        try:
+            jax.distributed.initialize()
+            print(f'jax.distributed: process {jax.process_index()}'
+                  f'/{jax.process_count()}')
+        except Exception as e:  # already initialised, or single-host
+            print(f'jax.distributed.initialize skipped: {e}')
+
     seed_all(cfg['seed'])
     init_algorithms(deterministic=cfg['deterministic'])
+    cfg = dict(cfg)
+    if cfg.get('precision') is None:
+        cfg['precision'] = ('bfloat16' if jax.default_backend() == 'tpu'
+                            else 'float32')
 
     experiment_id = cfg['experiment_id'] or datetime.datetime.now().strftime(
         '%Y%m%d-%H%M%S%f')
@@ -241,25 +262,39 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
     # Device->host reads are expensive (a full relay round-trip on remote
     # TPU runtimes); reading the loss scalar every step would serialise the
     # pipeline. Losses stay on device and are drained in one batched
-    # transfer every `metrics_every` steps.
+    # transfer every `metrics_every` steps. step_time/images_per_sec are
+    # window averages with data-load stalls subtracted; the first window
+    # (XLA compile) is excluded from the timing meters.
     pending_losses = []
     window_t0 = time.perf_counter()
     window_images = 0
+    window_load_s = 0.0
+    first_window = True
 
     def drain_window():
-        nonlocal window_t0, window_images
+        nonlocal window_t0, window_images, window_load_s, first_window
         if not pending_losses:
             return
         losses = np.asarray(jnp.stack(pending_losses))  # one transfer
-        dt = time.perf_counter() - window_t0
+        dt = time.perf_counter() - window_t0 - window_load_s
         tel['train_loss'].add(float(losses.mean()))
-        tel['step_time'].add(dt / len(pending_losses))
-        tel['train_images_per_sec'].add(window_images / dt)
+        if not first_window:
+            tel['step_time'].add(dt / len(pending_losses))
+            tel['train_images_per_sec'].add(window_images / max(dt, 1e-9))
+        first_window = False
         pending_losses.clear()
         window_t0 = time.perf_counter()
         window_images = 0
+        window_load_s = 0.0
 
-    for batch in generator_timer(batch_iter, tel['data_load_time']):
+    while True:
+        t_load = time.perf_counter()
+        batch = next(batch_iter, None)
+        load_s = time.perf_counter() - t_load
+        if batch is None:
+            break
+        tel['data_load_time'].add(load_s)
+        window_load_s += load_s
         device_batch = {
             'input': batch['input'],
             'target': batch['target'],
@@ -271,6 +306,7 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
         window_images += len(batch['valid_depth'])
 
         if i % cfg['metrics_every'] == 0:
+            drain_window()  # before host metrics: keep eval out of step_time
             with timer(tel['eval_time']):
                 _host_metrics(batch, loader.dataset, metrics['pred'], tel, 'train')
             if not vis_done and exp_out_dir:
@@ -279,7 +315,7 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
                 save_image_grid(images,
                                 path.join(exp_out_dir, 'train_examples.png'))
                 vis_done = True
-            drain_window()
+            window_t0 = time.perf_counter()  # restart after host work
         i += 1
         if profiling and i >= profile_steps:
             jax.block_until_ready(state.params)

@@ -221,6 +221,18 @@ def random_texture(rng: np.random.RandomState):
     )
 
 
+def _composite(fg, bg, mask):
+    """PIL.Image.composite with the fused C++ path when available."""
+    from margipose_tpu import native
+
+    if (native.available() and fg.mode == 'RGB' and bg.mode == 'RGB'
+            and mask.mode in ('L', '1')):
+        out = native.composite(np.asarray(fg), np.asarray(bg),
+                               np.asarray(mask.convert('L')))
+        return PIL.Image.fromarray(out, 'RGB')
+    return PIL.Image.composite(fg, bg, mask)
+
+
 def augment_clothing(img, mask, texture):
     """Composite a clothing texture, modulated by image darkness
     (reference: src/margipose/data/mpi_inf_3dhp/__init__.py:101-110)."""
@@ -230,7 +242,7 @@ def augment_clothing(img, mask, texture):
     tex = np.array(texture, dtype=np.float64)
     tex -= blackness[..., np.newaxis] * tex
     tex_img = PIL.Image.fromarray(np.round(tex).astype(np.uint8))
-    return PIL.Image.composite(tex_img, img, mask)
+    return _composite(tex_img, img, mask)
 
 
 def random_background(rng: np.random.RandomState):
@@ -253,7 +265,7 @@ def random_background(rng: np.random.RandomState):
 
 
 def augment_background(img, mask, bg):
-    return PIL.Image.composite(img, bg, mask)
+    return _composite(img, bg, mask)
 
 
 class MpiInf3dDataset(PoseDataset):

@@ -24,7 +24,6 @@ from margipose_tpu.ops.dsnt import (
     average_loss,
     dsnt,
     euclidean_losses,
-    flat_softmax,
     js_reg_losses,
 )
 

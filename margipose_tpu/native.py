@@ -83,7 +83,11 @@ def _inv_coeffs(affine: np.ndarray) -> np.ndarray:
 
 def warp_rgb(image: np.ndarray, affine: np.ndarray, out_size) -> np.ndarray:
     """Warp an HWC uint8 RGB array with an output<-input affine.
-    ``out_size`` is (width, height) like PIL."""
+    ``out_size`` is (width, height) like PIL.
+
+    This is the numeric-contract surface for the shared C++ bilinear
+    sampler: tests/test_native.py pins it against PIL, and the production
+    ``warp_colour_norm`` fuses the same sampler with colour/normalise."""
     lib = _load()
     assert lib is not None
     ow, oh = out_size

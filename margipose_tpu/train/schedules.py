@@ -73,19 +73,15 @@ class FusedGradientTransformation(NamedTuple):
     per-buffer overhead at the jit boundary (~5-10us per output array), so
     the optimiser costs more wall-clock than the whole backward pass.
 
-    ``fused_apply`` computes momentum buffer and updated parameter in ONE
-    pytree pass. ``flat_apply`` goes further: it operates on *raveled*
-    [N]-vector params/trace (see ``margipose_tpu.train.steps``
-    FlatTrainState), reducing the whole update to two fused vector ops and
-    the state to two buffers. ``init``/``update`` keep the standard optax
-    contract (same numerics) for generic callers.
+    ``fused_apply`` computes the momentum buffer and the updated parameter
+    in ONE pytree pass (XLA emits a single multi-output fusion per leaf).
+    ``init``/``update`` keep the standard optax contract (same numerics)
+    for generic callers.
     """
 
     init: Callable
     update: Callable
     fused_apply: Callable  # (grads, state, params) -> (new_params, new_state)
-    flat_apply: Callable  # (g_flat, trace_flat, params_flat, count) ->
-    #                       (new_params_flat, new_trace_flat)
 
 
 def sgd_momentum_scheduled(lr_sched, mom_sched) -> FusedGradientTransformation:
@@ -120,13 +116,7 @@ def sgd_momentum_scheduled(lr_sched, mom_sched) -> FusedGradientTransformation:
         new_trace = jax.tree.map(lambda x: x[1], pairs, is_leaf=is_pair)
         return new_params, SGDMState(state.count + 1, new_trace)
 
-    def flat_apply(g_flat, trace_flat, params_flat, count):
-        lr = lr_sched(count)
-        m = mom_sched(count)
-        new_trace = g_flat + m * trace_flat
-        return params_flat - lr * new_trace, new_trace
-
-    return FusedGradientTransformation(init, update, fused_apply, flat_apply)
+    return FusedGradientTransformation(init, update, fused_apply)
 
 
 def make_optimiser(algorithm: str, lr: float, max_iters: int = None,

@@ -100,114 +100,6 @@ def make_train_step(model, optimiser, pixelwise_loss="jsd", donate=True,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-class FlatTrainState(struct.PyTreeNode):
-    """Train state as raveled [N]-vectors — the TPU hot-loop representation.
-
-    Crossing the jit boundary costs ~5-10us PER ARRAY on TPU runtimes; a
-    ~1100-leaf parameter tree therefore wastes tens of milliseconds per step
-    on buffer bookkeeping alone (more than the entire backward pass).
-    Keeping params / momentum / batch_stats as three flat f32 buffers makes
-    that cost vanish; the unravel into the model's pytree happens INSIDE the
-    jitted step, where XLA folds it into the consuming convolutions for
-    free. Convert with ``flatten_train_state`` / ``unflatten_train_state``
-    at epoch boundaries (checkpointing, validation).
-    """
-
-    step: jax.Array
-    params: jax.Array  # raveled f32 [N]
-    trace: jax.Array  # raveled momentum buffers, same layout as params
-    batch_stats: jax.Array  # raveled f32
-
-
-def _ravel(tree):
-    from jax.flatten_util import ravel_pytree
-
-    return ravel_pytree(tree)
-
-
-def flatten_train_state(state: TrainState):
-    """TrainState (pytree) -> (FlatTrainState, unravel_fns).
-
-    Requires the optimiser state to be ``SGDMState`` (momentum trace with
-    the same structure as params) — i.e. a ``FusedGradientTransformation``
-    from margipose_tpu.train.schedules.
-    """
-    params_flat, unravel_params = _ravel(state.params)
-    bs_flat, unravel_bs = _ravel(state.batch_stats)
-    trace_flat, _ = _ravel(state.opt_state.trace)
-    flat = FlatTrainState(
-        step=state.step,
-        params=params_flat,
-        trace=trace_flat,
-        batch_stats=bs_flat,
-    )
-    return flat, (unravel_params, unravel_bs)
-
-
-def unflatten_train_state(flat: FlatTrainState, unravel_fns) -> TrainState:
-    from margipose_tpu.train.schedules import SGDMState
-
-    unravel_params, unravel_bs = unravel_fns
-    params = unravel_params(flat.params)
-    return TrainState(
-        step=flat.step,
-        params=params,
-        batch_stats=unravel_bs(flat.batch_stats),
-        opt_state=SGDMState(count=flat.step, trace=unravel_params(flat.trace)),
-    )
-
-
-def make_flat_train_step(model, optimiser, unravel_fns, pixelwise_loss="jsd",
-                         donate=True, compute_dtype=None):
-    """Flat-state counterpart of make_train_step:
-    (FlatTrainState, batch) -> (FlatTrainState, metrics).
-
-    ``optimiser`` must provide ``flat_apply`` (see
-    margipose_tpu.train.schedules.FusedGradientTransformation).
-    """
-    compute_dtype = resolve_dtype(compute_dtype)
-    unravel_params, unravel_bs = unravel_fns
-
-    def train_step(state: FlatTrainState, batch):
-        params = unravel_params(state.params)
-        batch_stats = unravel_bs(state.batch_stats)
-
-        def loss_fn(params):
-            with compute_dtype_scope(compute_dtype):
-                (xyz, out), new_model_state = model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    batch["input"].astype(compute_dtype or batch["input"].dtype),
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-            loss = margipose_masked_loss(
-                out,
-                batch["target"][..., :3],
-                batch["joint_mask"],
-                batch["valid_depth"],
-                pixelwise_loss,
-            )
-            return loss, (new_model_state, xyz)
-
-        (loss, (new_model_state, xyz)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        g_flat, _ = _ravel(grads)
-        new_params, new_trace = optimiser.flat_apply(
-            g_flat, state.trace, state.params, state.step)
-        new_bs, _ = _ravel(new_model_state["batch_stats"])
-        new_state = FlatTrainState(
-            step=state.step + 1,
-            params=new_params,
-            trace=new_trace,
-            batch_stats=new_bs,
-        )
-        metrics = {"loss": loss, "pred": xyz}
-        return new_state, metrics
-
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
-
-
 def make_eval_step(model, pixelwise_loss="jsd", compute_dtype=None):
     """Jitted eval step: (params, batch_stats, batch) -> metrics dict with
     predictions and the 3D loss (reference: src/margipose/bin/eval_3d.py:59-63)."""
