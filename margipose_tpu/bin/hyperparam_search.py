@@ -81,8 +81,44 @@ def run_lr_range_test(cfg: dict) -> dict:
     avg_loss, best_loss = 0.0, float('inf')
     beta = cfg['ema_beta']
 
+    # Device->host loss reads cost a full relay round-trip on remote TPU
+    # runtimes; keep losses on device and drain them in batches of 8, so
+    # the divergence check lags by at most 7 iterations.
+    pending = []
+    drained_upto = 0  # iteration index of the first un-drained loss
+    stop = False
+
+    def process_pending():
+        nonlocal avg_loss, best_loss, stop, drained_upto
+        vals = np.asarray(jnp.stack(pending))
+        pending.clear()
+        base_i = drained_upto
+        drained_upto += len(vals)
+        for k, loss in enumerate(vals):
+            i = base_i + k
+            loss = float(loss)
+            if not np.isfinite(loss):
+                print(f'stopping at iter {i}: non-finite loss')
+                stop = True
+                return
+            avg_loss = beta * avg_loss + (1 - beta) * loss
+            smoothed = avg_loss / (1 - beta ** (i + 1))
+            losses.append(smoothed)
+            used_lrs.append(float(lrs[i]))
+            best_loss = min(best_loss, smoothed)
+            if smoothed > 4 * best_loss:
+                print(f'stopping at iter {i}: loss diverged ({smoothed:.4g} '
+                      f'> 4x {best_loss:.4g})')
+                stop = True
+                return
+            if i % 25 == 0:
+                print(f'iter {i:4d}  lr={lrs[i]:.3e}  loss={smoothed:.5f}',
+                      flush=True)
+
+    import jax.numpy as jnp
+
     for i, batch in enumerate(device_prefetch(iter(loader))):
-        if i >= cfg['max_iters']:
+        if i >= cfg['max_iters'] or stop:
             break
         device_batch = {
             'input': batch['input'], 'target': batch['target'],
@@ -90,21 +126,11 @@ def run_lr_range_test(cfg: dict) -> dict:
             'valid_depth': np.asarray(batch['valid_depth'], np.int32),
         }
         state, metrics = train_step(state, device_batch)
-        loss = float(metrics['loss'])
-        if not np.isfinite(loss):
-            print(f'stopping at iter {i}: non-finite loss')
-            break
-        avg_loss = beta * avg_loss + (1 - beta) * loss
-        smoothed = avg_loss / (1 - beta ** (i + 1))
-        losses.append(smoothed)
-        used_lrs.append(float(lrs[i]))
-        best_loss = min(best_loss, smoothed)
-        if smoothed > 4 * best_loss:
-            print(f'stopping at iter {i}: loss diverged ({smoothed:.4g} > 4x '
-                  f'{best_loss:.4g})')
-            break
-        if i % 25 == 0:
-            print(f'iter {i:4d}  lr={lrs[i]:.3e}  loss={smoothed:.5f}', flush=True)
+        pending.append(metrics['loss'])
+        if len(pending) >= 8:
+            process_pending()
+    if pending and not stop:
+        process_pending()
 
     out = {'lrs': used_lrs, 'losses': losses}
     if cfg['out_dir']:
