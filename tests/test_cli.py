@@ -102,3 +102,28 @@ def test_config_parsing():
     assert cfg['model_desc']['type'] == 'margipose'
     with pytest.raises(SystemExit):
         ex.parse(['with', 'definitely_not_a_config'])
+
+
+def test_export_cli(trained_ckpt, tmp_path):
+    """Export smoke tests — the analogue of the reference's ONNX export test
+    (reference: tests/test_onnx.py): native weights-only re-save and a
+    StableHLO serialisation of the jitted forward, both reloadable."""
+    from margipose_tpu.bin.export_model import main as export_main
+
+    native_out = str(tmp_path / 'exported')
+    export_main(['export', '-i', trained_ckpt, '-o', native_out, '-f', 'native'])
+    from margipose_tpu.train.checkpoint import load_model
+
+    model, variables, model_desc = load_model(native_out)
+    assert model_desc['type'] == 'margipose'
+
+    hlo_out = str(tmp_path / 'model.stablehlo')
+    export_main(['export', '-i', trained_ckpt, '-o', hlo_out, '-f', 'stablehlo'])
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    with open(hlo_out, 'rb') as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    out = exported.call(jnp.zeros((1, 96, 96, 3), jnp.float32))
+    assert out.shape == (1, 17, 3)
+    assert np.isfinite(np.asarray(out)).all()
