@@ -131,8 +131,6 @@ def main():
 
     # ---- training ----
     opt = make_optimiser("1cycle", lr=1.0, max_iters=1000)
-    state = create_train_state(model, rng, opt, input_shape=(1, 256, 256, 3),
-                               variables=variables)
     rnd = np.random.RandomState(1)
     train_batch = {
         "input": jnp.asarray(rnd.randn(batch, 256, 256, 3), jnp.float32),
@@ -142,16 +140,21 @@ def main():
     }
     train_ips = {}
     for prec in (["bfloat16", "float32"] if on_tpu else ["float32"]):
-        train_step = make_train_step(model, opt, donate=False, compute_dtype=prec)
+        # donate=True is the production training path: each call consumes the
+        # previous state, so the bench chains states through a holder.
+        train_step = make_train_step(model, opt, donate=True, compute_dtype=prec)
+        holder = {"state": create_train_state(
+            model, rng, opt, input_shape=(1, 256, 256, 3), variables=variables)}
 
-        def step(state, batch):
-            new_state, metrics = train_step(state, batch)
+        def step(batch):
+            new_state, metrics = train_step(holder["state"], batch)
+            holder["state"] = new_state
             return metrics["loss"]
 
         t0 = time.perf_counter()
-        _sync(step(state, train_batch))
+        _sync(step(train_batch))
         log(f"train[{prec}] compile: {time.perf_counter() - t0:.1f}s")
-        t_train = _bench(step, (state, train_batch), iters=10, warmup=2)
+        t_train = _bench(step, (train_batch,), iters=10, warmup=2)
         train_ips[prec] = batch / t_train
         log(f"train[{prec}]: batch {batch}, {t_train * 1e3:.2f} ms/step, "
             f"{batch / t_train:.1f} images/sec")

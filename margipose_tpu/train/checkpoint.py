@@ -13,6 +13,7 @@ type.
 from __future__ import annotations
 
 import json
+import os
 from os import path
 
 import jax
@@ -26,9 +27,24 @@ def _ocp():
 
 
 def save_checkpoint(ckpt_dir: str, state, model_desc: dict, extra: dict | None = None):
-    """Save train state + model_desc to ``ckpt_dir`` (overwrites)."""
+    """Save train state + model_desc to ``ckpt_dir`` (overwrites).
+
+    Crash-safe: the new state is written to a fresh directory and swapped in
+    with renames, keeping the previous state as ``state.old`` until the new
+    one is fully on disk. A process killed mid-save therefore never loses
+    the last good checkpoint (restore falls back to ``state.old``)."""
+    import glob as _glob
+    import shutil
+
     ckpt_dir = path.abspath(ckpt_dir)
     ocp = _ocp()
+    nxt = path.join(ckpt_dir, "state.next")
+    old = path.join(ckpt_dir, "state.old")
+    final = path.join(ckpt_dir, "state")
+    # stale leftovers from an interrupted save
+    shutil.rmtree(nxt, ignore_errors=True)
+    for stale in _glob.glob(path.join(ckpt_dir, "*.orbax-checkpoint-tmp*")):
+        shutil.rmtree(stale, ignore_errors=True)
     with ocp.StandardCheckpointer() as ckptr:
         payload = {
             "step": state.step,
@@ -36,12 +52,31 @@ def save_checkpoint(ckpt_dir: str, state, model_desc: dict, extra: dict | None =
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
-        ckptr.save(path.join(ckpt_dir, "state"), payload, force=True)
+        ckptr.save(nxt, payload)
+    shutil.rmtree(old, ignore_errors=True)
+    if path.isdir(final):
+        os.rename(final, old)
+    os.rename(nxt, final)
     meta = {"model_desc": model_desc}
     if extra:
         meta.update(extra)
-    with open(path.join(ckpt_dir, "meta.json"), "w") as f:
+    meta_tmp = path.join(ckpt_dir, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(meta_tmp, path.join(ckpt_dir, "meta.json"))
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _state_dir_with_fallback(ckpt_dir: str) -> str:
+    state_dir = path.join(ckpt_dir, "state")
+    if path.isdir(state_dir):
+        return state_dir
+    old = path.join(ckpt_dir, "state.old")
+    if path.isdir(old):
+        print(f"checkpoint: '{state_dir}' missing (interrupted save?); "
+              f"falling back to '{old}'")
+        return old
+    return state_dir  # let orbax raise its not-found error
 
 
 def restore_checkpoint(ckpt_dir: str, template_state):
@@ -55,7 +90,7 @@ def restore_checkpoint(ckpt_dir: str, template_state):
             "batch_stats": template_state.batch_stats,
             "opt_state": template_state.opt_state,
         }
-        restored = ckptr.restore(path.join(ckpt_dir, "state"), payload)
+        restored = ckptr.restore(_state_dir_with_fallback(ckpt_dir), payload)
     return template_state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -105,7 +140,7 @@ def load_model(model_file: str):
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
     ocp = _ocp()
     # saved either as full train state or variables-only
-    state_dir = path.join(model_file, "state")
+    state_dir = _state_dir_with_fallback(model_file)
     var_dir = path.join(model_file, "variables")
     if path.isdir(var_dir):
         with ocp.StandardCheckpointer() as ckptr:

@@ -132,3 +132,45 @@ def test_checkpoint_roundtrip(tmp_path):
     assert desc2 == desc
     c = jax.tree.leaves(variables['params'])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(c))
+
+
+def test_checkpoint_interrupted_save_fallback(tmp_path):
+    """A save killed mid-swap must not lose the previous checkpoint: restore
+    falls back to state.old, and the next save cleans up the debris."""
+    import os
+    import shutil
+
+    from margipose_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    desc = {'type': 'margipose', 'version': '6.0.1',
+            'settings': {'n_stages': 1, 'feature_extractor': 'resnet18'}}
+    ckpt_dir = str(tmp_path / 'ckpt')
+    save_checkpoint(ckpt_dir, state, desc, extra={'epoch': 1})
+
+    # simulate a crash between `state -> state.old` and `state.next -> state`
+    os.rename(os.path.join(ckpt_dir, 'state'), os.path.join(ckpt_dir, 'state.old'))
+    os.makedirs(os.path.join(ckpt_dir, 'state.next.orbax-checkpoint-tmp-123'))
+
+    template = create_train_state(
+        model, jax.random.PRNGKey(1), opt, input_shape=(1, 64, 64, 3))
+    restored = restore_checkpoint(ckpt_dir, template)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # a subsequent save repairs the directory
+    save_checkpoint(ckpt_dir, restored, desc, extra={'epoch': 2})
+    assert os.path.isdir(os.path.join(ckpt_dir, 'state'))
+    assert not os.path.exists(os.path.join(ckpt_dir, 'state.old'))
+    assert not os.path.exists(
+        os.path.join(ckpt_dir, 'state.next.orbax-checkpoint-tmp-123'))
+    restored2 = restore_checkpoint(ckpt_dir, template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored2.params)[0]), np.asarray(a))
