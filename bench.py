@@ -141,10 +141,13 @@ def main():
     train_ips = {}
     for prec in (["bfloat16", "float32"] if on_tpu else ["float32"]):
         # donate=True is the production training path: each call consumes the
-        # previous state, so the bench chains states through a holder.
+        # previous state, so the bench chains states through a holder. The
+        # state gets its own copy of the variables — donation would otherwise
+        # delete the buffers still referenced by the inference benchmark.
         train_step = make_train_step(model, opt, donate=True, compute_dtype=prec)
         holder = {"state": create_train_state(
-            model, rng, opt, input_shape=(1, 256, 256, 3), variables=variables)}
+            model, rng, opt, input_shape=(1, 256, 256, 3),
+            variables=jax.tree.map(lambda x: x.copy(), variables))}
 
         def step(batch):
             new_state, metrics = train_step(holder["state"], batch)
