@@ -174,3 +174,41 @@ def test_checkpoint_interrupted_save_fallback(tmp_path):
     restored2 = restore_checkpoint(ckpt_dir, template)
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(restored2.params)[0]), np.asarray(a))
+
+
+def test_sharded_step_matches_single_device():
+    """GSPMD sharding (data x model mesh) must be numerically equivalent to
+    the unsharded step — collectives change reduction order only."""
+    model = small_model()
+    opt = make_optimiser('1cycle', lr=0.01, max_iters=10)
+    batch_np = fake_batch(np.random.RandomState(0), batch=8)
+    train_step = make_train_step(model, opt, donate=False)
+
+    def one_step(mesh=None):
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+        if mesh is None:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        else:
+            state = TrainState(
+                step=state.step,
+                params=shard_variables(state.params, mesh),
+                batch_stats=shard_variables(state.batch_stats, mesh),
+                opt_state=jax.device_put(state.opt_state),
+            )
+            batch = shard_batch(batch_np, mesh)
+        new_state, metrics = train_step(state, batch)
+        return (float(metrics['loss']),
+                np.asarray(jax.tree.leaves(new_state.params)[0]),
+                np.asarray(jax.tree.leaves(new_state.batch_stats)[0]))
+
+    loss_ref, param_ref, bs_ref = one_step(mesh=None)
+    loss_dp, param_dp, bs_dp = one_step(mesh=make_mesh(shape=(8, 1)))
+    loss_tp, param_tp, bs_tp = one_step(mesh=make_mesh(shape=(4, 2)))
+
+    assert loss_dp == pytest.approx(loss_ref, rel=1e-5)
+    assert loss_tp == pytest.approx(loss_ref, rel=1e-5)
+    np.testing.assert_allclose(param_dp, param_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(param_tp, param_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(bs_dp, bs_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(bs_tp, bs_ref, rtol=1e-4, atol=1e-6)
