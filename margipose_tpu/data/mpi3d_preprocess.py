@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from os import path
-from shutil import copy, move
+from shutil import copy, move, which
 from subprocess import call
 from tempfile import TemporaryDirectory
 
@@ -79,6 +79,10 @@ def process_camera_video(in_dir, out_dir, camera_id, frame_indices):
             continue
 
         video_file = path.join(in_dir, subdir, 'video_%d.avi' % camera_id)
+        if which('ffmpeg') is None:
+            raise RuntimeError(
+                'ffmpeg not found on PATH — it is required to extract video '
+                'frames during MPI-INF-3DHP preprocessing (see README)')
         with TemporaryDirectory(prefix='tmp_', dir=out_dir) as tmp_dir:
             retcode = call([
                 'ffmpeg', '-nostats', '-loglevel', '16',

@@ -1,0 +1,101 @@
+"""Unit tests for the MPI-INF-3DHP preprocessor's pure-python numerics
+(margipose_tpu/data/mpi3d_preprocess.py; reference:
+src/margipose/data/mpi_inf_3dhp/preprocess.py). The ffmpeg frame-extraction
+subprocess is exercised only when ffmpeg exists on the host."""
+
+import io
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from margipose_tpu.data.mpi3d_preprocess import (
+    Annotations,
+    calculate_univ_scale_factor,
+    infer_test_intrinsics,
+    interesting_frame_indices,
+    is_image_ok,
+)
+from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dhpSkeletonDesc
+
+
+def _fake_annot(n_frames=10, n_cameras=14, seed=0):
+    """Build a synthetic .mat-style annotation dict (cell arrays of
+    [n_frames, 28*d] matrices, one per camera)."""
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(-500, 500, (n_frames, 28, 3)) + [0, 0, 3000]
+    annot3 = np.empty((n_cameras, 1), object)
+    univ = np.empty((n_cameras, 1), object)
+    annot2 = np.empty((n_cameras, 1), object)
+    scale = 1.13
+    for c in range(n_cameras):
+        a3 = base + c  # slight per-camera offset
+        root = a3[:, 14:15, :]
+        u3 = (a3 - root) / scale + root
+        a2 = a3[..., :2] / a3[..., 2:] * 1000 + 1024
+        annot3[c, 0] = a3.reshape(n_frames, -1)
+        univ[c, 0] = u3.reshape(n_frames, -1)
+        annot2[c, 0] = a2.reshape(n_frames, -1)
+    return {
+        'cameras': np.arange(n_cameras).reshape(-1, 1),
+        'frames': np.arange(n_frames).reshape(-1, 1),
+        'annot3': annot3,
+        'univ_annot3': univ,
+        'annot2': annot2,
+    }
+
+
+def test_annotations_reshape():
+    annot = Annotations(_fake_annot())
+    assert annot.annot3.shape == (14, 10, 28, 3)
+    assert annot.annot2.shape == (14, 10, 28, 2)
+
+
+def test_interesting_frame_indices_movement_threshold():
+    raw = _fake_annot(n_frames=6)
+    annot = Annotations(raw)
+    # make frames 1..2 nearly static relative to frame 0, frame 3 a jump,
+    # frame 4 out of 2D bounds, frame 5 another jump
+    u = annot.univ_annot3
+    u[0, 1] = u[0, 0] + 1.0
+    u[0, 2] = u[0, 0] + 5.0
+    u[0, 3] = u[0, 0] + 300.0
+    u[0, 4] = u[0, 0] + 600.0
+    u[0, 5] = u[0, 0] + 900.0
+    annot.annot2[0, 4, 0] = [-5.0, 10.0]  # out of bounds
+    idx = interesting_frame_indices(annot, 0, 6)
+    assert idx == [0, 3, 5]
+
+
+def test_univ_scale_factor_recovered():
+    """The synthetic universal skeleton was built with a single 1.13 factor
+    around the root joint; the median-ratio estimator must recover it."""
+    raw = _fake_annot()
+    annot = Annotations(raw)
+    scale = calculate_univ_scale_factor(
+        annot.annot3[0], annot.univ_annot3[0], MpiInf3dhpSkeletonDesc)
+    assert scale == pytest.approx(1.13, rel=1e-6)
+
+
+def test_infer_test_intrinsics_recovers_pinhole():
+    rng = np.random.RandomState(1)
+    fx, fy, cx, cy = 1500.0, 1495.0, 1024.0, 768.0
+    x3d = rng.uniform(-800, 800, (50, 28, 3)) + [0, 0, 4000]
+    annot2 = np.stack([
+        x3d[..., 0] / x3d[..., 2] * fx + cx,
+        x3d[..., 1] / x3d[..., 2] * fy + cy,
+    ], axis=-1)
+    got = infer_test_intrinsics(annot2, x3d)
+    assert np.allclose(got, (fx, fy, cx, cy), rtol=1e-6)
+
+
+def test_is_image_ok_rejects_flash_frames(tmp_path):
+    normal = PIL.Image.fromarray(
+        np.full((32, 32, 3), 128, np.uint8))
+    flash = PIL.Image.fromarray(
+        np.full((32, 32, 3), 255, np.uint8))
+    p1, p2 = tmp_path / 'ok.jpg', tmp_path / 'flash.png'
+    normal.save(p1)
+    flash.save(p2)
+    assert is_image_ok(str(p1))
+    assert not is_image_ok(str(p2))
