@@ -51,7 +51,15 @@ def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
 
     # Thumbnail scale factor (preserve aspect, fit within the model input,
     # content at the top-left like the reference's image.thumbnail + paste).
-    src = np.asarray(image.convert('RGB'), np.float32) / 255.0
+    image = image.convert('RGB')
+    # The device warp is single-tap bilinear; for large photos (scale < 0.5)
+    # that aliases badly vs the reference's antialiased thumbnail, so
+    # area-average on the host first. This floor(ratio) factor leaves the
+    # remaining bilinear scale in (0.5, 1.0] — alias-free.
+    reduce_factor = min(image.width // w, image.height // h)
+    if reduce_factor > 1:
+        image = image.reduce(reduce_factor)
+    src = np.asarray(image, np.float32) / 255.0
     scale = min(w / src.shape[1], h / src.shape[0], 1.0)
     affine = jnp.asarray(
         [[scale, 0.0, 0.0], [0.0, scale, 0.0], [0.0, 0.0, 1.0]],

@@ -28,7 +28,14 @@ class Experiment:
         self.named_configs[name] = kwargs
 
     def parse(self, argv: list[str]) -> dict:
-        """Parse ``[with name... key=value...]`` into a config dict."""
+        """Parse ``[with name... key=value...]`` into a config dict.
+
+        Dict-valued overrides and named-config entries deep-merge into the
+        existing value, sacred-style (reference:
+        src/margipose/bin/train_3d.py:229-264 + README.md:84-91 — e.g.
+        ``"model_desc={'settings': {'pixelwise_loss': None}}"`` updates just
+        that key, keeping the named config's type/version/settings intact).
+        """
         config = copy.deepcopy(self.defaults)
         args = list(argv)
         if args and args[0] == 'with':
@@ -42,7 +49,7 @@ class Experiment:
                     value = raw
                 _set_dotted(config, key.strip(), value)
             elif arg in self.named_configs:
-                config.update(copy.deepcopy(self.named_configs[arg]))
+                _deep_merge(config, copy.deepcopy(self.named_configs[arg]))
             else:
                 raise SystemExit(
                     f"unknown named config or override: {arg!r} "
@@ -51,9 +58,27 @@ class Experiment:
         return config
 
 
+def _deep_merge(dst: dict, src: dict) -> dict:
+    """Recursively merge ``src`` into ``dst`` (in place): dicts merge,
+    everything else overwrites."""
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
 def _set_dotted(config: dict, key: str, value):
     parts = key.split('.')
     node = config
     for p in parts[:-1]:
-        node = node.setdefault(p, {})
-    node[parts[-1]] = value
+        existing = node.get(p)
+        if not isinstance(existing, dict):
+            existing = node[p] = {}
+        node = existing
+    last = parts[-1]
+    if isinstance(value, dict) and isinstance(node.get(last), dict):
+        _deep_merge(node[last], value)
+    else:
+        node[last] = value

@@ -428,28 +428,32 @@ def _stacked_js(stacked: jax.Array, target_xyz: jax.Array, sigma) -> jax.Array:
     Same math as ops.dsnt.js_reg_losses/make_gauss but NHWC-native — no
     transposes, no per-plane dispatch, one fused reduction per term.
     """
-    _, _, h, w, _ = stacked.shape
-    from margipose_tpu.ops.dsnt import normalized_linspace
-
     tx, ty, tz = target_xyz[..., 0], target_xyz[..., 1], target_xyz[..., 2]
     tw = jnp.stack([tx, tz, tx])  # [3, B, J] width-axis targets
     th = jnp.stack([ty, ty, tz])  # [3, B, J] height-axis targets
+    return _js_vs_gauss(stacked, tw, th, sigma)
 
-    cw = normalized_linspace(w, stacked.dtype)
-    ch = normalized_linspace(h, stacked.dtype)
+
+def _js_vs_gauss(p: jax.Array, tw: jax.Array, th: jax.Array, sigma) -> jax.Array:
+    """JS divergence of [S, B, H, W, J] heatmaps against separable Gaussians
+    centred at (tw, th) [S, B, J] per plane. Returns [S, B, J]."""
+    _, _, h, w, _ = p.shape
+    from margipose_tpu.ops.dsnt import normalized_linspace
+
+    cw = normalized_linspace(w, p.dtype)
+    ch = normalized_linspace(h, p.dtype)
     kw = -0.5 * (w / (2.0 * sigma)) ** 2
     kh = -0.5 * (h / (2.0 * sigma)) ** 2
-    gw = jnp.exp(kw * (cw[:, None] - tw[:, :, None, :]) ** 2)  # [3,B,W,J]
-    gh = jnp.exp(kh * (ch[:, None] - th[:, :, None, :]) ** 2)  # [3,B,H,J]
-    q = gh[:, :, :, None, :] * gw[:, :, None, :, :]  # [3,B,H,W,J]
+    gw = jnp.exp(kw * (cw[:, None] - tw[:, :, None, :]) ** 2)  # [S,B,W,J]
+    gh = jnp.exp(kh * (ch[:, None] - th[:, :, None, :]) ** 2)  # [S,B,H,J]
+    q = gh[:, :, :, None, :] * gw[:, :, None, :, :]  # [S,B,H,W,J]
     q = q / (jnp.sum(q, axis=(2, 3), keepdims=True) + _EPS)
 
-    p = stacked
     m = 0.5 * (p + q)
     log_m = jnp.log(m + _EPS)
     kl_pm = jnp.sum(p * (jnp.log(p + _EPS) - log_m), axis=(2, 3))
     kl_qm = jnp.sum(q * (jnp.log(q + _EPS) - log_m), axis=(2, 3))
-    return 0.5 * kl_pm + 0.5 * kl_qm  # [3, B, J]
+    return 0.5 * kl_pm + 0.5 * kl_qm  # [S, B, J]
 
 
 def _stacked_stage_terms(stacked, target_xyz, pixelwise_loss, sigma=1.0):
@@ -477,10 +481,19 @@ def margipose_2d_losses(out: ModelOutput, target: jax.Array,
     pad = jnp.zeros_like(target_xy[..., :1])
     losses = 0.0
     if out.stacked:
-        target_xyz = jnp.concatenate([target_xy, pad], axis=-1)
+        # Only the xy plane contributes to the 2D loss (reference:
+        # src/margipose/models/margipose_model.py:223-234), so render/reduce
+        # the JSD for that single plane rather than all three.
+        tw = target_xy[None, ..., 0]
+        th = target_xy[None, ..., 1]
         for s in out.stacked:
-            px, cxy, _ = _stacked_stage_terms(s, target_xyz, pixelwise_loss)
-            losses += px[0] + euclidean_losses(cxy, target_xy)
+            ew, eh = _stacked_expectations(s[0:1])
+            cxy = jnp.stack([ew[0], eh[0]], axis=-1)
+            if pixelwise_loss == 'jsd':
+                losses += _js_vs_gauss(s[0:1], tw, th, 1.0)[0]
+            elif pixelwise_loss is not None:
+                raise ValueError(f'unrecognised pixelwise loss: {pixelwise_loss}')
+            losses += euclidean_losses(cxy, target_xy)
         return losses
     for px_xy, _, _, cxy, _ in _stage_components(
             out, jnp.concatenate([target_xy, pad], axis=-1),

@@ -28,13 +28,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # Build to a unique temp path and os.replace() into place: forked loader
+    # workers (and run.sh / Dockerfile builds) may race on the same output
+    # file, and CDLL-ing a half-written .so crashes the process instead of
+    # falling back to PIL. rename is atomic within the directory.
+    tmp = f"{_LIB}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -104,6 +104,33 @@ def test_config_parsing():
         ex.parse(['with', 'definitely_not_a_config'])
 
 
+def test_config_dict_override_deep_merges():
+    """The README's documented invocation — a dict-valued model_desc override
+    after a named config — must deep-merge sacred-style, not replace
+    (reference: src/margipose/bin/train_3d.py:229-264, README.md:84-91)."""
+    from margipose_tpu.bin.train_3d import ex
+
+    cfg = ex.parse(['with', 'margipose_model', 'mpi3d',
+                    "model_desc={'settings': {'pixelwise_loss': None}}"])
+    desc = cfg['model_desc']
+    # the named config's identity fields survive the override...
+    assert desc['type'] == 'margipose'
+    assert desc['version']
+    # ...sibling settings survive...
+    assert desc['settings']['n_stages'] == 4
+    assert desc['settings']['feature_extractor'] == 'inceptionv4'
+    # ...and the overridden key lands
+    assert desc['settings']['pixelwise_loss'] is None
+    # dotted-path variant merges the same way
+    cfg2 = ex.parse(['with', 'margipose_model',
+                     "model_desc.settings={'n_stages': 2}"])
+    assert cfg2['model_desc']['settings']['n_stages'] == 2
+    assert cfg2['model_desc']['settings']['feature_extractor'] == 'inceptionv4'
+    # non-dict overrides still replace wholesale
+    cfg3 = ex.parse(['with', 'margipose_model', 'epochs=7'])
+    assert cfg3['epochs'] == 7
+
+
 def test_export_cli(trained_ckpt, tmp_path):
     """Export smoke tests — the analogue of the reference's ONNX export test
     (reference: tests/test_onnx.py): native weights-only re-save and a
