@@ -82,6 +82,11 @@ ex.add_config(
     quick=False,
     experiment_id=None,
     weights=None,             # warm-start model weights only (reference semantics)
+    pretrained_stem=None,     # path to an ImageNet backbone state_dict .pth
+                              # (pretrainedmodels inceptionv4 / torchvision
+                              # resnet); initialises in_cnn like the
+                              # reference's pretrained=True stems (reference:
+                              # src/margipose/models/margipose_model.py:104-138)
     resume=None,              # checkpoint dir: restore FULL train state
                               # (params, optimiser, step, epoch) and continue
     deterministic=False,
@@ -180,6 +185,19 @@ def run_training(cfg: dict) -> dict:
 
     h = data_specs.input_specs.height
     w = data_specs.input_specs.width
+    if (cfg.get('pretrained_stem') and init_variables is None
+            and cfg['resume'] is None):
+        import jax.numpy as jnp
+
+        from margipose_tpu.train.torch_import import load_pretrained_stem
+
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(cfg['seed']), jnp.zeros((1, h, w, 3), jnp.float32))
+        init_variables = load_pretrained_stem(
+            dict(variables), cfg['pretrained_stem'],
+            model_desc['settings'].get('feature_extractor', 'inceptionv4'))
+        print(f"initialised {model_desc['settings'].get('feature_extractor')} "
+              f"stem from {cfg['pretrained_stem']}")
     state = create_train_state(
         model, jax.random.PRNGKey(cfg['seed']), optimiser,
         input_shape=(1, h, w, 3), variables=init_variables and dict(init_variables))

@@ -104,6 +104,16 @@ def _is_transpose_conv(torch_key: str) -> bool:
     return any(p.search(torch_key) for p in _TRANSPOSE_PATTERNS)
 
 
+def _leaf_shape(value) -> tuple:
+    """Shape of a template leaf — works for arrays AND jax.ShapeDtypeStruct
+    (so templates can come from jax.eval_shape, which never allocates)."""
+    return tuple(value.shape) if hasattr(value, "shape") else np.asarray(value).shape
+
+
+def _leaf_dtype(value):
+    return value.dtype if hasattr(value, "dtype") else np.asarray(value).dtype
+
+
 def _flatten(tree, prefix=()):
     for k, v in tree.items():
         if isinstance(v, Mapping):
@@ -140,7 +150,7 @@ def convert_state_dict(flax_variables, torch_state_dict) -> dict:
         for path, value in _flatten(tree):
             keys = flax_path_to_torch_keys(path)
             stacked = len(keys) > 1
-            expected = np.asarray(value).shape[1:] if stacked else np.asarray(value).shape
+            expected = tuple(_leaf_shape(value)[1:] if stacked else _leaf_shape(value))
             parts = []
             for key in keys:
                 if key not in torch_state:
@@ -155,14 +165,14 @@ def convert_state_dict(flax_variables, torch_state_dict) -> dict:
                         w = torch_convtranspose_weight_to_hwio(w)
                     else:
                         w = torch_conv_weight_to_hwio(w)
-                if w.shape != expected:
+                if tuple(w.shape) != expected:
                     raise ValueError(
                         f"shape mismatch for {key}: {w.shape} "
                         f"vs expected {expected}"
                     )
                 parts.append(w)
             w = np.stack(parts) if stacked else parts[0]
-            flat_out[path] = np.asarray(w, dtype=np.asarray(value).dtype)
+            flat_out[path] = np.asarray(w, dtype=_leaf_dtype(value))
         out[collection] = _unflatten(flat_out)
 
     leftovers = [
@@ -172,6 +182,94 @@ def convert_state_dict(flax_variables, torch_state_dict) -> dict:
     if leftovers:
         raise ValueError(f"unconsumed torch keys: {leftovers[:10]} (+{len(leftovers) - 10 if len(leftovers) > 10 else 0} more)")
     return out
+
+
+# --- ImageNet-pretrained stem import -------------------------------------
+#
+# The reference initialises the margipose in_cnn from ImageNet weights
+# (pretrainedmodels ``inceptionv4(pretrained=...)`` / torchvision
+# ``resnet{18,34,50}(pretrained=True)``; reference:
+# src/margipose/models/margipose_model.py:104-138). This framework consumes
+# the same state_dicts from a local .pth file.
+
+# flax in_cnn child -> torchvision resnet attribute (Sequential wrapper
+# indices 0=conv1, 1=bn1, 4=layer1, 5=layer2; 6/7 are the fresh 1x1
+# reduction for resnet50 and stay randomly initialised).
+_RESNET_STEM_HEADS = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2"}
+# inceptionv4: flax children '0'..'6' are pretrainedmodels features.0..6;
+# '7'/'8' are the fresh 1x1 conv + BN.
+_INCEPTION_PRETRAINED_BLOCKS = {str(i) for i in range(7)}
+
+
+def _stem_torch_key(path: tuple[str, ...], feature_extractor: str) -> str | None:
+    """Torch state_dict key for an in_cnn-relative flax path, or None if the
+    leaf is not covered by the pretrained backbone."""
+    if feature_extractor == "inceptionv4":
+        if path[0] not in _INCEPTION_PRETRAINED_BLOCKS:
+            return None
+        return "features." + flax_path_to_torch_key(path)
+    if feature_extractor.startswith("resnet"):
+        head = _RESNET_STEM_HEADS.get(path[0])
+        if head is None:
+            return None
+        rest = flax_path_to_torch_key(path[1:])
+        return f"{head}.{rest}" if rest else head
+    raise ValueError(f"unsupported feature extractor: {feature_extractor}")
+
+
+def convert_pretrained_stem(variables, torch_state_dict, feature_extractor: str):
+    """Overwrite the in_cnn stem leaves of ``variables`` with ImageNet
+    weights from a backbone ``state_dict`` (pretrainedmodels inceptionv4 or
+    torchvision resnet18/34/50 format).
+
+    Leaves the fresh layers (the 1x1 reduction conv + BN) and everything
+    outside in_cnn untouched. Raises on missing keys or shape mismatches;
+    surplus torch keys (deeper backbone blocks, classifier head) are
+    expected and ignored. Returns a new variables dict.
+    """
+    torch_state = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in torch_state_dict.items()
+    }
+    n_loaded = 0
+    out = {}
+    for collection, tree in variables.items():
+        flat = {}
+        for path, value in _flatten(tree):
+            if "in_cnn" in path:
+                rel = path[path.index("in_cnn") + 1:]
+                key = _stem_torch_key(rel, feature_extractor)
+                if key is not None:
+                    if key not in torch_state:
+                        raise KeyError(
+                            f"pretrained state_dict is missing '{key}' "
+                            f"(for flax {collection}/{'/'.join(path)})")
+                    w = torch_state[key]
+                    if w.ndim == 4 and path[-1] == "weight":
+                        w = torch_conv_weight_to_hwio(w)
+                    if tuple(w.shape) != _leaf_shape(value):
+                        raise ValueError(
+                            f"shape mismatch for {key}: {w.shape} vs "
+                            f"expected {_leaf_shape(value)}")
+                    flat[path] = np.asarray(w, dtype=_leaf_dtype(value))
+                    n_loaded += 1
+                    continue
+            flat[path] = value
+        out[collection] = _unflatten(flat)
+    if n_loaded == 0:
+        raise ValueError("no stem leaves matched the pretrained state_dict")
+    return out
+
+
+def load_pretrained_stem(variables, path: str, feature_extractor: str):
+    """Load a backbone .pth file (a bare state_dict, or a dict with a
+    'state_dict' entry) and graft it onto ``variables``' in_cnn stem."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return convert_pretrained_stem(variables, obj, feature_extractor)
 
 
 def load_torch_checkpoint(path: str) -> dict:
@@ -196,8 +294,11 @@ def import_torch_model(path: str):
     details = load_torch_checkpoint(path)
     model_desc = details["model_desc"]
     model = create_model(model_desc)
-    template = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+    # eval_shape: conversion only needs the tree structure + leaf shapes, so
+    # never pay a real init/compile for the template.
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
     )
     variables = convert_state_dict(template, details["state_dict"])
+    variables = jax.tree.map(jnp.asarray, variables)
     return model, variables, model_desc
