@@ -160,15 +160,25 @@ def run_training(cfg: dict) -> dict:
         cfg['preserve_root_joint_at_univ_scale']
 
     data_specs = data_specs_for_desc(model_desc)
+    # Per-host input sharding (SURVEY §5.8): each process loads
+    # batch_size / process_count examples with an independently-seeded
+    # sampler; device_prefetch assembles the global batch array via
+    # jax.make_array_from_process_local_data.
+    n_proc = jax.process_count()
+    assert cfg['batch_size'] % n_proc == 0, (
+        f"batch_size {cfg['batch_size']} must divide over {n_proc} processes")
+    local_batch = cfg['batch_size'] // n_proc
+    loader_seed = cfg['seed'] + 1021 * jax.process_index()
     train_loader = create_train_dataloader(
-        cfg['train_datasets'], data_specs, cfg['batch_size'],
-        cfg['train_examples'], cfg['use_aug'], num_workers=cfg['num_workers'],
-        seed=cfg['seed'])
+        cfg['train_datasets'], data_specs, local_batch,
+        cfg['train_examples'] // n_proc, cfg['use_aug'],
+        num_workers=cfg['num_workers'], seed=loader_seed)
     val_loader = None
     if cfg['val_datasets']:
         val_loader = create_val_dataloader(
-            cfg['val_datasets'], data_specs, cfg['batch_size'], cfg['val_examples'],
-            num_workers=cfg['num_workers'], seed=cfg['seed'])
+            cfg['val_datasets'], data_specs, local_batch,
+            cfg['val_examples'] // n_proc,
+            num_workers=cfg['num_workers'], seed=loader_seed)
 
     # ---- Mesh & optimiser ----
     mesh = make_mesh()
@@ -252,7 +262,12 @@ def run_training(cfg: dict) -> dict:
 
 
 def _host_metrics(batch, dataset, preds, tel, prefix):
-    norm_preds = ensure_homogeneous(np.asarray(preds, np.float64), d=3)
+    from margipose_tpu.parallel import host_local_values
+
+    # Each process scores its own rows of the (possibly multi-host) batch —
+    # the host-side fields in `batch` are local to this process already.
+    norm_preds = ensure_homogeneous(
+        host_local_values(preds).astype(np.float64), d=3)
     metrics = dataset.evaluate_3d_batch(batch, norm_preds)
     for m in metrics:
         tel[f'{prefix}_mpjpe'].add(m['mpjpe'])
@@ -317,7 +332,7 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             'input': batch['input'],
             'target': batch['target'],
             'joint_mask': batch['joint_mask'],
-            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+            'valid_depth': batch['valid_depth'],  # int32 device array (loader)
         }
         state, metrics = train_step(state, device_batch)
         pending_losses.append(metrics['loss'])
@@ -328,8 +343,13 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             with timer(tel['eval_time']):
                 _host_metrics(batch, loader.dataset, metrics['pred'], tel, 'train')
             if not vis_done and exp_out_dir:
+                from margipose_tpu.parallel import host_local_values
+
+                vis_batch = dict(batch)
+                vis_batch['input'] = host_local_values(batch['input'])
                 images = visualise_predictions(
-                    np.asarray(metrics['pred'], np.float64), batch, loader.dataset)
+                    host_local_values(metrics['pred']).astype(np.float64),
+                    vis_batch, loader.dataset)
                 save_image_grid(images,
                                 path.join(exp_out_dir, 'train_examples.png'))
                 vis_done = True
@@ -352,7 +372,7 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
             'input': batch['input'],
             'target': batch['target'],
             'joint_mask': batch['joint_mask'],
-            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+            'valid_depth': batch['valid_depth'],  # int32 device array (loader)
         }
         metrics = eval_step(state.params, state.batch_stats, device_batch)
         tel['val_loss'].add(float(metrics['loss']))

@@ -100,18 +100,26 @@ def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):
     """Move array fields of each batch onto device(s) ahead of consumption.
 
     Yields batches whose ``fields`` are jax Arrays (placed with ``sharding``
-    if given) while keeping ``depth`` transfers in flight.
+    if given) while keeping ``depth`` transfers in flight. On a multi-process
+    runtime each process feeds its local rows of the global batch and the
+    global array is assembled via ``put_batch_array`` (SURVEY.md §5.8).
     """
     import jax
     import numpy as np
 
+    from margipose_tpu.parallel.mesh import put_batch_array
+
     def ship(batch):
         out = dict(batch)
+        if 'valid_depth' in out:
+            # int32 on host: the train step consumes it as an int mask and
+            # reading it back from device every step would stall the pipe.
+            out['valid_depth'] = np.asarray(out['valid_depth'], np.int32)
         for f in fields:
             if f in out:
                 arr = np.asarray(out[f])
                 out[f] = (
-                    jax.device_put(arr, sharding) if sharding is not None
+                    put_batch_array(arr, sharding) if sharding is not None
                     else jax.device_put(arr)
                 )
         return out

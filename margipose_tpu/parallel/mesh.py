@@ -78,7 +78,52 @@ def shard_variables(variables, mesh: Mesh):
     return jax.tree.map(jax.device_put, variables, shardings)
 
 
+def host_local_slice(global_batch_size: int, process_index=None,
+                     process_count=None) -> slice:
+    """Rows of the global batch this process is responsible for loading.
+
+    On a multi-host TPU slice each process runs its own input pipeline and
+    loads ``global_batch_size / process_count`` examples (SURVEY.md §5.8);
+    the global device array is then assembled from the per-process shards by
+    ``put_batch_array``. Processes own contiguous row blocks in process-index
+    order, matching jax.make_array_from_process_local_data's layout for a
+    batch-dim-sharded array over devices enumerated in process order.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    assert global_batch_size % pc == 0, (
+        f"global batch {global_batch_size} must divide over {pc} processes")
+    per = global_batch_size // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def put_batch_array(arr, sharding: NamedSharding):
+    """Place one batch array on the mesh, multi-process aware.
+
+    Single process: a plain ``device_put`` (the host sees the global batch).
+    Multi-process: ``arr`` is this process's local shard of the batch
+    (rows ``host_local_slice(global_batch)``) and the global jax.Array is
+    assembled with ``jax.make_array_from_process_local_data`` — the per-host
+    batch-assembly path the reference has no analogue of (SURVEY.md §5.8).
+    """
+    arr = np.asarray(arr)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, arr)
+    return jax.device_put(arr, sharding)
+
+
+def host_local_values(arr) -> np.ndarray:
+    """This process's addressable rows of a batch-sharded global array,
+    concatenated in global row order (the inverse of ``put_batch_array`` for
+    host-side metric/visualisation paths — a multi-process ``np.asarray``)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
     """Place batch arrays with the leading dim sharded over 'data'."""
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(np.asarray(v), sharding) for k, v in batch_arrays.items()}
+    return {k: put_batch_array(v, sharding) for k, v in batch_arrays.items()}
