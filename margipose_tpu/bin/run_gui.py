@@ -88,15 +88,41 @@ def _overlay_image(dataset, example, pred):
     return img
 
 
-def _heatmap_strip(heatmaps, joint):
-    """xy/zy/xz heatmaps for one joint as a horizontal image strip."""
+# Per-plane axis labels as in the reference heatmap tab
+# (reference: src/margipose/bin/run_gui.py:330-334).
+_PLANE_AXES = {'xy': ('x', 'y'), 'xz': ('x', 'z'), 'zy': ('z', 'y')}
+
+
+def _heatmap_panel(hm, size=96, overlay=None):
+    """One heatmap as a PIL image with DSNT-mean crosshairs
+    (reference: src/margipose/bin/run_gui.py:336-351)."""
+    import PIL.ImageDraw as ImageDraw
+
+    hm = np.asarray(hm, np.float64)
+    total = hm.sum() + 1e-12
+    # Weighted mean of each axis — the soft-argmax the model reads out.
+    mean_x = float((hm.sum(-2) * np.arange(hm.shape[-1])).sum() / total)
+    mean_y = float((hm.sum(-1) * np.arange(hm.shape[-2])).sum() / total)
+    arr = (np.clip(hm / (hm.max() + 1e-12), 0, 1) * 255).astype(np.uint8)
+    img = PIL.Image.fromarray(arr).convert('RGB').resize(
+        (size, size), PIL.Image.NEAREST)
+    if overlay is not None:
+        img = PIL.Image.blend(img, overlay.resize((size, size)), 0.5)
+    scale = size / hm.shape[-1]
+    draw = ImageDraw.Draw(img)
+    draw.line([(mean_x * scale, 0), (mean_x * scale, size)], fill=(255, 64, 64))
+    draw.line([(0, mean_y * scale), (size, mean_y * scale)], fill=(255, 64, 64))
+    return img
+
+
+def _heatmap_strip(heatmaps, joint, image=None):
+    """xy/xz/zy heatmaps for one joint as a horizontal image strip, with
+    mean crosshairs and the input image alpha-blended under the xy plane."""
     panels = []
-    for key in ('xy', 'zy', 'xz'):
-        hm = heatmaps[key][joint]
-        hm = hm / (hm.max() + 1e-12)
-        arr = (np.clip(hm, 0, 1) * 255).astype(np.uint8)
-        panels.append(PIL.Image.fromarray(arr).resize((96, 96), PIL.Image.NEAREST))
-    strip = PIL.Image.new('L', (96 * 3 + 8, 96))
+    for key in ('xy', 'xz', 'zy'):
+        overlay = image if key == 'xy' else None
+        panels.append(_heatmap_panel(heatmaps[key][joint], overlay=overlay))
+    strip = PIL.Image.new('RGB', (96 * 3 + 8, 96))
     for i, p in enumerate(panels):
         strip.paste(p, (i * (96 + 4), 0))
     return strip
@@ -109,6 +135,11 @@ def _img_to_b64(img):
 
 
 def export_html(dataset, forward, out_file, n_examples):
+    """Standalone HTML report with the reference GUI's capabilities
+    (reference: src/margipose/bin/run_gui.py:103-404): per-example overlay,
+    a per-joint xy/xz/zy heatmap viewer behind a joint <select>, and a
+    Procrustes-alignment toggle that switches the displayed metrics."""
+    joint_names = dataset.skeleton_desc.joint_names
     rows = []
     n = min(n_examples, len(dataset))
     for i in range(n):
@@ -116,52 +147,121 @@ def export_html(dataset, forward, out_file, n_examples):
         overlay = _overlay_image(dataset, r['example'], r['pred'])
         cells = [f'<td><img src="data:image/png;base64,{_img_to_b64(overlay)}"></td>']
         if r['heatmaps'] is not None:
-            strip = _heatmap_strip(r['heatmaps'], 0)
+            img = dataset.input_to_pil_image(np.asarray(r['example']['input']))
+            strips = []
+            for j, name in enumerate(joint_names):
+                strip = _heatmap_strip(r['heatmaps'], j, image=img)
+                display = 'inline' if j == 0 else 'none'
+                strips.append(
+                    f'<img class="hm hm-{j}" style="display:{display}" '
+                    f'src="data:image/png;base64,{_img_to_b64(strip)}">')
             cells.append(
-                f'<td><img src="data:image/png;base64,{_img_to_b64(strip)}">'
-                f'<br><small>joint 0 xy/zy/xz heatmaps</small></td>')
+                f'<td>{"".join(strips)}<br><small>xy / xz / zy marginal '
+                f'heatmaps (crosshairs = soft-argmax mean)</small></td>')
         if r['metrics'] is not None:
             m = r['metrics']
             cells.append(
-                f"<td>MPJPE {m['mpjpe']:.1f}mm<br>PCK {m['pck']:.3f}"
-                f"<br>aligned MPJPE {m['aligned_mpjpe']:.1f}mm</td>")
+                '<td><span class="plain">'
+                f"MPJPE {m['mpjpe']:.1f}mm<br>PCK {m['pck']:.3f}"
+                f"<br>AUC {m['auc']:.3f}</span>"
+                '<span class="aligned" style="display:none">'
+                f"MPJPE {m['aligned_mpjpe']:.1f}mm<br>PCK {m['aligned_pck']:.3f}"
+                f"<br>AUC {m['aligned_auc']:.3f}</span></td>")
         rows.append(f"<tr><td>#{i}</td>{''.join(cells)}</tr>")
+    options = ''.join(f'<option value="{j}">{name}</option>'
+                      for j, name in enumerate(joint_names))
+    controls = (
+        f'<p>Joint: <select id="joint">{options}</select> '
+        '<label><input type="checkbox" id="aligned"> Procrustes alignment'
+        '</label></p>'
+        '<script>\n'
+        'document.getElementById("joint").addEventListener("change", e => {\n'
+        '  document.querySelectorAll(".hm").forEach(el => {\n'
+        '    el.style.display = el.classList.contains("hm-" + e.target.value)'
+        ' ? "inline" : "none";\n  });\n});\n'
+        'document.getElementById("aligned").addEventListener("change", e => {\n'
+        '  const on = e.target.checked;\n'
+        '  document.querySelectorAll(".plain").forEach(el => '
+        'el.style.display = on ? "none" : "inline");\n'
+        '  document.querySelectorAll(".aligned").forEach(el => '
+        'el.style.display = on ? "inline" : "none");\n});\n'
+        '</script>')
     html = (
         '<html><head><title>margipose_tpu examples</title></head><body>'
         '<h1>margipose_tpu example browser</h1>'
         '<p>green = ground truth; red/blue/gold = prediction</p>'
-        f'<table border="1">{"".join(rows)}</table></body></html>'
+        f'<table border="1">{"".join(rows)}</table>'
+        f'{controls}</body></html>'
     )
     with open(out_file, 'w') as f:
         f.write(html)
-    print(f'wrote {out_file} ({n} examples)')
+    print(f'wrote {out_file} ({n} examples, {len(joint_names)} joints)')
 
 
 def run_tk_gui(dataset, forward):
+    """Interactive browser with the reference GUI's toolbar surface
+    (reference: src/margipose/bin/run_gui.py:103-404): example stepper,
+    MPJPE/PCK readout with a Procrustes-alignment toggle, and a per-joint
+    xy/xz/zy heatmap viewer behind a joint dropdown."""
     import tkinter as tk
     from PIL import ImageTk
 
     root = tk.Tk()
     root.title('margipose_tpu GUI')
-    state = {'index': 0}
+    state = {'index': 0, 'result': None}
+    joint_names = list(dataset.skeleton_desc.joint_names)
+    var_joint = tk.StringVar(value=joint_names[0])
+    var_aligned = tk.IntVar(value=0)
 
     img_label = tk.Label(root)
     img_label.pack()
+    hm_label = tk.Label(root)
+    hm_label.pack()
+    hm_caption = tk.Label(root, text='')
+    hm_caption.pack()
     info = tk.Label(root, text='')
     info.pack()
 
+    def refresh_heatmaps():
+        r = state['result']
+        if r is None or r['heatmaps'] is None:
+            hm_label.configure(image='')
+            hm_caption.configure(text='')
+            return
+        joint = joint_names.index(var_joint.get())
+        img = dataset.input_to_pil_image(np.asarray(r['example']['input']))
+        strip = _heatmap_strip(r['heatmaps'], joint, image=img)
+        strip = strip.resize((strip.width * 2, strip.height * 2),
+                             PIL.Image.NEAREST)
+        photo = ImageTk.PhotoImage(strip)
+        hm_label.configure(image=photo)
+        hm_label.image = photo
+        hm_caption.configure(
+            text=f'{var_joint.get()}: xy / xz / zy marginal heatmaps '
+                 '(crosshairs = soft-argmax mean)')
+
+    def refresh_info():
+        r = state['result']
+        text = f"example {state['index'] + 1}/{len(dataset)}"
+        if r and r['metrics']:
+            m = r['metrics']
+            if var_aligned.get():
+                text += (f"   aligned MPJPE {m['aligned_mpjpe']:.1f}mm  "
+                         f"aligned PCK {m['aligned_pck']:.3f}")
+            else:
+                text += f"   MPJPE {m['mpjpe']:.1f}mm  PCK {m['pck']:.3f}"
+        info.configure(text=text)
+
     def refresh():
         r = _load_and_process_example(dataset, forward, state['index'])
+        state['result'] = r
         overlay = _overlay_image(dataset, r['example'], r['pred'])
         overlay = overlay.resize((512, 512), PIL.Image.NEAREST)
         photo = ImageTk.PhotoImage(overlay)
         img_label.configure(image=photo)
         img_label.image = photo
-        text = f"example {state['index'] + 1}/{len(dataset)}"
-        if r['metrics']:
-            text += (f"   MPJPE {r['metrics']['mpjpe']:.1f}mm  "
-                     f"PCK {r['metrics']['pck']:.3f}")
-        info.configure(text=text)
+        refresh_heatmaps()
+        refresh_info()
 
     def step(delta):
         state['index'] = (state['index'] + delta) % len(dataset)
@@ -171,6 +271,11 @@ def run_tk_gui(dataset, forward):
     controls.pack()
     tk.Button(controls, text='< prev', command=lambda: step(-1)).pack(side=tk.LEFT)
     tk.Button(controls, text='next >', command=lambda: step(1)).pack(side=tk.LEFT)
+    tk.Label(controls, text='  Joint:').pack(side=tk.LEFT)
+    tk.OptionMenu(controls, var_joint, *joint_names,
+                  command=lambda _=None: refresh_heatmaps()).pack(side=tk.LEFT)
+    tk.Checkbutton(controls, text='Procrustes alignment', variable=var_aligned,
+                   command=refresh_info).pack(side=tk.LEFT)
     refresh()
     root.mainloop()
 

@@ -89,6 +89,16 @@ def test_gui_html_export(trained_ckpt, tmp_path):
               '--export-html', out_file, '--examples', '2'], {'device': 'auto'})
     html = open(out_file).read()
     assert 'MPJPE' in html and 'base64' in html
+    # Per-joint heatmap selector + Procrustes toggle (reference GUI parity;
+    # reference: src/margipose/bin/run_gui.py:103-404): one strip per joint
+    # behind a <select>, and both plain & aligned metric variants.
+    from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+    n_joints = len(CanonicalSkeletonDesc.joint_names)
+    assert f'hm-{n_joints - 1}' in html
+    assert '<select id="joint">' in html
+    assert CanonicalSkeletonDesc.joint_names[3] in html
+    assert 'id="aligned"' in html and 'class="aligned"' in html
 
 
 def test_config_parsing():
