@@ -83,11 +83,11 @@ def main():
 
     # Persistent compilation cache: the 4-stage model is a huge graph and
     # first compile dominates wall-clock; cache makes reruns near-instant.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               path.join(REPO, ".jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Keyed per host CPU (margipose_tpu/_cache.py) to avoid cross-host
+    # XLA:CPU AOT SIGILLs.
+    from margipose_tpu._cache import enable_compile_cache
+
+    enable_compile_cache(REPO)
 
     import jax.numpy as jnp
     import numpy as np

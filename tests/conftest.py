@@ -15,14 +15,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the test host has a single CPU core, and
 # model-sized XLA compiles dominate suite wall-clock. Cached executables
-# make re-runs fast.
-_cache_dir = os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# make re-runs fast. Keyed per host CPU (margipose_tpu/_cache.py) — loading
+# an XLA:CPU AOT entry compiled on a host with different CPU flags SIGILLs.
+from margipose_tpu._cache import enable_compile_cache
+
+enable_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
