@@ -1,0 +1,163 @@
+"""Procedural miniature MPI-INF-3DHP dataset in the processed on-disk layout.
+
+Generates exactly what ``margipose_preprocess_mpi3d`` would write
+(reference: src/margipose/data/mpi_inf_3dhp/preprocess.py:128-134,246-322):
+per-sequence ``metadata.h5`` (interesting_frames, scale, joints3d),
+``camera.calibration``, extracted JPEG frames, and the foreground /
+up-body / low-body augmentation masks — so the REAL ``MpiInf3dDataset``
+(including compositing augmentation and multicrop) can run in tests and
+benchmarks without the 25 GB original dataset.
+
+The base pose is the S1/Seq1/camera0/frame0 28-joint skeleton from the
+reference's own test fixtures (reference: tests/conftest.py:36-65) with
+per-frame jitter large enough to pass the >=200 mm "interesting frame"
+movement criterion.
+"""
+
+from __future__ import annotations
+
+import os
+from os import path
+
+import numpy as np
+import PIL.Image
+import PIL.ImageDraw
+
+# 28-joint camera-space pose in mm (reference: tests/conftest.py:36-65 —
+# the universal-scale S1/Seq1 frame-0 skeleton; a numeric contract).
+BASE_POSE_28 = np.array([
+    [-26.0276, 98.0811, 3699.60], [-45.5924, -6.8788, 3691.51],
+    [-11.8660, 175.6800, 3705.06], [-11.7886, 176.2583, 3705.0914],
+    [1.6757, 402.9290, 3713.26], [-1.8908, -78.7086, 3697.48],
+    [11.9904, -164.0930, 3696.26], [-14.1671, -334.8410, 3685.41],
+    [10.8534, -43.9395, 3744.14], [-21.9359, 6.5647, 3823.57],
+    [-48.9321, 9.3914, 4139.38], [-48.1227, 29.9672, 4383.52],
+    [-57.2134, 51.5208, 4469.82], [27.8253, -40.3641, 3662.90],
+    [12.3105, -6.8914, 3570.30], [28.6693, 53.3262, 3259.53],
+    [65.5078, 80.3900, 3018.83], [74.3912, 90.6255, 2930.45],
+    [-22.8190, 401.2070, 3829.8625], [-45.7490, 956.8290, 3800.59],
+    [-137.3620, 1388.2400, 3780.20], [-43.9510, 1416.6700, 3807.94],
+    [-17.2509, 1412.7200, 3812.42], [26.1703, 404.6510, 3596.6575],
+    [-15.4026, 957.8070, 3670.33], [-87.2411, 1390.7700, 3718.40],
+    [10.3942, 1414.7500, 3704.42], [36.6540, 1407.8400, 3701.05],
+], dtype=np.float64)
+
+FOCAL = 1500.0
+SENSOR = 2048.0  # original capture resolution; frames stored at 768
+
+
+def _calibration_text(camera_ids):
+    lines = ["Fake calibration file"]
+    for cid in camera_ids:
+        intr = np.eye(4)
+        intr[0, 0] = intr[1, 1] = FOCAL
+        intr[0, 2] = intr[1, 2] = SENSOR / 2
+        extr = np.eye(4)
+        lines += [
+            f"name          {cid}",
+            "sensor        10 10",
+            f"size          {SENSOR:.0f} {SENSOR:.0f}",
+            "animated      0",
+            "intrinsic     " + " ".join(f"{v:.6f}" for v in intr.flatten()),
+            "extrinsic     " + " ".join(f"{v:.6f}" for v in extr.flatten()),
+            "radial        0",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def _person_bbox(pose, img_size):
+    """Projected 2D bbox of the pose at the stored image resolution."""
+    scale = img_size / SENSOR
+    pts = pose[:, :2] / pose[:, 2:3] * FOCAL + SENSOR / 2
+    pts = pts * scale
+    return (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+
+
+def _render_frame(rng, pose, img_size):
+    """Procedural frame: noisy background + a filled person-ish silhouette."""
+    img = PIL.Image.new(
+        'RGB', (img_size, img_size),
+        tuple(int(c) for c in rng.randint(30, 120, 3)))
+    draw = PIL.ImageDraw.Draw(img)
+    x0, y0, x1, y1 = _person_bbox(pose, img_size)
+    draw.ellipse([x0, y0, x1, y1], fill=(170, 130, 100))
+    # limbs as lines for texture
+    scale = img_size / SENSOR
+    pts = pose[:, :2] / pose[:, 2:3] * FOCAL + SENSOR / 2
+    for a in range(0, len(pts) - 1, 2):
+        draw.line([tuple(pts[a] * scale), tuple(pts[a + 1] * scale)],
+                  fill=(90, 60, 40), width=3)
+    return img
+
+
+def _render_masks(pose, img_size):
+    """fg / upper-body / lower-body masks around the projected pose."""
+    x0, y0, x1, y1 = _person_bbox(pose, img_size)
+    ymid = (y0 + y1) / 2
+    masks = {}
+    for name, box in (
+            ('fg', [x0, y0, x1, y1]),
+            ('ub', [x0, y0, x1, ymid]),
+            ('lb', [x0, ymid, x1, y1])):
+        m = PIL.Image.new('L', (img_size, img_size), 0)
+        PIL.ImageDraw.Draw(m).ellipse(box, fill=255)
+        masks[name] = m
+    return masks
+
+
+def generate_fake_mpi3d(out_dir, seqs=((1, 1),), camera_ids=(0, 2),
+                        n_frames=4, img_size=768, seed=0,
+                        with_images=True):
+    """Write a miniature processed-layout MPI-INF-3DHP dataset to ``out_dir``.
+
+    Frames jitter the base pose by >200 mm translation steps so every frame
+    passes the reference's interesting-frame criterion. Returns ``out_dir``.
+    """
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    n_cameras = 14
+    for subject_id, sequence_id in seqs:
+        seq_dir = path.join(out_dir, f'S{subject_id}', f'Seq{sequence_id}')
+        os.makedirs(seq_dir, exist_ok=True)
+
+        joints3d = np.zeros((n_cameras, n_frames, 28, 3))
+        poses = []
+        for t in range(n_frames):
+            # walk sideways >=250mm per frame; stays well inside the frame
+            offset = np.array([(t - n_frames / 2) * 260.0,
+                               rng.uniform(-40, 40), rng.uniform(-60, 60)])
+            poses.append(BASE_POSE_28 + offset)
+        for cid in camera_ids:
+            for t in range(n_frames):
+                joints3d[cid, t] = poses[t]
+
+        with h5py.File(path.join(seq_dir, 'metadata.h5'), 'w') as f:
+            f['scale'] = np.array([1.05])
+            f['joints3d'] = joints3d
+            grp = f.create_group('interesting_frames')
+            for cid in camera_ids:
+                grp[f'camera{cid}'] = np.arange(n_frames, dtype=np.int64)
+
+        with open(path.join(seq_dir, 'camera.calibration'), 'w') as f:
+            f.write(_calibration_text(camera_ids))
+
+        if not with_images:
+            continue
+        for cid in camera_ids:
+            img_dir = path.join(seq_dir, 'imageSequence', f'video_{cid}')
+            os.makedirs(img_dir, exist_ok=True)
+            mask_dirs = {
+                'fg': path.join(seq_dir, 'foreground_mask', f'video_{cid}'),
+                'ub': path.join(seq_dir, 'up_body_mask', f'video_{cid}'),
+                'lb': path.join(seq_dir, 'low_body_mask', f'video_{cid}'),
+            }
+            for d in mask_dirs.values():
+                os.makedirs(d, exist_ok=True)
+            for t in range(n_frames):
+                img = _render_frame(rng, poses[t], img_size)
+                img.save(path.join(img_dir, f'img_{t + 1:06d}.jpg'),
+                         quality=90)
+                for name, m in _render_masks(poses[t], img_size).items():
+                    m.save(path.join(mask_dirs[name], f'img_{t + 1:06d}.png'))
+    return out_dir

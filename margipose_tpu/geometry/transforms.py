@@ -147,18 +147,24 @@ class TransformerContext:
             s = self.opts.get("saturation", 1.0)
             h = self.opts.get("hue", 0.0)
             new_image = None
-            if image.mode == "RGB":
+            # ``image`` may be a PIL RGB image or an HWC uint8 array (the
+            # compositing pipeline stays in numpy; see data/mpi_inf_3dhp.py).
+            is_array = isinstance(image, np.ndarray)
+            if is_array or image.mode == "RGB":
                 # Fused native warp+colour pass (one C++ loop instead of a
                 # PIL transform + three enhance passes); falls back to PIL.
                 from margipose_tpu import native
 
                 if native.available():
                     arr = native.warp_colour_norm(
-                        np.asarray(image), self.affine, out_size,
+                        image if is_array else np.asarray(image),
+                        self.affine, out_size,
                         brightness=b, contrast=c, saturation=s, hue=h)
                     new_image = PIL.Image.fromarray(
                         (arr * 255.0 + 0.5).astype(np.uint8), "RGB")
             if new_image is None:
+                if is_array:
+                    image = PIL.Image.fromarray(image, "RGB")
                 new_image = warp_image_pil(image, self.affine, out_size)
                 new_image = adjust_colour_pil(
                     new_image, brightness=b, contrast=c, saturation=s, hue=h)

@@ -1,0 +1,81 @@
+"""The REAL MpiInf3dDataset driven end-to-end on a procedural miniature
+dataset in the processed on-disk layout (margipose_tpu/data/fake_mpi3d.py)
+— compositing augmentation, multicrop, and the 3D eval path included.
+(reference: src/margipose/data/mpi_inf_3dhp/__init__.py:20-429; the real
+dataset tests there skip without /datasets, reference tests/conftest.py:68-81.)
+"""
+
+import numpy as np
+import pytest
+
+from margipose_tpu.data.fake_mpi3d import generate_fake_mpi3d
+from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+from margipose_tpu.data.specs import DataSpecs, ImageSpecs, JointsSpecs
+from margipose_tpu.geometry.coords import ensure_homogeneous
+from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+N_FRAMES = 3
+CAMERAS = (0, 2)
+
+
+@pytest.fixture(scope='module')
+def fake_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp('fake_mpi3d'))
+    # S2/Seq2 is bg/ub/lb-augmentable (mpi3d_sequence_info.json), so the
+    # full compositing path is reachable.
+    return generate_fake_mpi3d(out, seqs=((2, 2),), camera_ids=CAMERAS,
+                               n_frames=N_FRAMES)
+
+
+def canonical_specs():
+    return DataSpecs(ImageSpecs(256), JointsSpecs(CanonicalSkeletonDesc, n_dims=3))
+
+
+def test_dataset_scans_processed_layout(fake_dir):
+    ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs())
+    assert len(ds) == len(CAMERAS) * N_FRAMES
+    sample = ds[0]
+    assert sample['input'].shape == (256, 256, 3)
+    assert sample['target'].shape[-2:] in ((17, 3), (17, 4))
+    assert sample['valid_depth'] == 1
+    assert np.all(np.abs(sample['target'][:, :2]) <= 1.2)
+
+
+def test_compositing_augmentation_runs(fake_dir):
+    ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs(),
+                         use_aug=True, seed=7)
+    baseline = MpiInf3dDataset(fake_dir, data_specs=canonical_specs())[0]['input']
+    changed = False
+    for _ in range(4):  # several epochs so bg/ub/lb compositing all trigger
+        for i in range(len(ds)):
+            s = ds[i]
+            assert np.isfinite(s['input']).all()
+            assert np.isfinite(s['target']).all()
+            if i == 0 and not np.allclose(s['input'], baseline):
+                changed = True
+    assert changed, 'augmentation never changed example 0'
+
+
+def test_multicrop_returns_ten_crop_batch(fake_dir):
+    ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs())
+    ds.multicrop = True
+    batch = ds[0]
+    assert batch['input'].shape == (10, 256, 256, 3)
+    assert batch['target'].shape[:2] == (10, 17)
+
+
+def test_eval_path_with_perfect_predictions(fake_dir):
+    from margipose_tpu.data.loader import make_dataloader
+
+    ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs())
+    loader = make_dataloader(ds, batch_size=len(ds))
+    batch = next(iter(loader))
+    preds = ensure_homogeneous(np.asarray(batch['target'], np.float64), d=3)
+    metrics = ds.evaluate_3d_batch(batch, preds)
+    assert len(metrics) == len(ds)
+    for m in metrics:
+        assert np.isfinite(m['mpjpe'])
+        # known_depth=False: depth is inferred via the 920mm knee-neck
+        # heuristic, so even perfect normalised predictions carry a small
+        # scale error — but nothing like a wrong-path blowup.
+        assert m['aligned_mpjpe'] < 120, m
