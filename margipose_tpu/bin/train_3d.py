@@ -106,6 +106,14 @@ ex.add_config(
                                # (margipose_tpu/parallel/precision.py)
     profile_steps=0,           # >0: capture a jax.profiler trace of that many
                                # batches in epoch 0 to <out_dir>/profile
+    device_aug=False,          # apply the geometric/colour augmentation ON
+                               # DEVICE as one fused XLA program over the
+                               # batch (ops/image.py device_augment): the
+                               # host loader ships raw fixed-size frames +
+                               # composed affines + colour params instead of
+                               # warped tensors. Needs all train datasets to
+                               # share one fixed raw frame size (mpi3d 768px,
+                               # synthetic). BASELINE.md north-star item.
 )
 
 
@@ -172,7 +180,8 @@ def run_training(cfg: dict) -> dict:
     train_loader = create_train_dataloader(
         cfg['train_datasets'], data_specs, local_batch,
         cfg['train_examples'] // n_proc, cfg['use_aug'],
-        num_workers=cfg['num_workers'], seed=loader_seed)
+        num_workers=cfg['num_workers'], seed=loader_seed,
+        device_aug=cfg.get('device_aug', False))
     val_loader = None
     if cfg['val_datasets']:
         val_loader = create_val_dataloader(
@@ -226,6 +235,24 @@ def run_training(cfg: dict) -> dict:
                  if val_loader else None)
     data_sharding = batch_sharding(mesh)
 
+    aug_step = None
+    if cfg.get('device_aug'):
+        import jax.numpy as jnp
+
+        from margipose_tpu.ops.image import device_augment
+
+        ispec = data_specs.input_specs
+        aug_mean = tuple(ispec.mean) if ispec.mean is not None else (0., 0., 0.)
+        aug_std = tuple(ispec.stddev) if ispec.stddev is not None else (1., 1., 1.)
+
+        @jax.jit
+        def aug_step(raw, affine, colour):
+            # raw uint8 [B,H,W,3] (batch-sharded) -> normalised input
+            # [B,h,w,3]; GSPMD keeps the output batch-sharded.
+            x = raw.astype(jnp.float32) / 255.0
+            return device_augment(x, affine, h, w, colour[:, 0], colour[:, 1],
+                                  colour[:, 2], colour[:, 3], aug_mean, aug_std)
+
     # ---- Reporting ----
     tel = make_train_reporter(with_val=val_loader is not None, out_dir=exp_out_dir)
     if exp_out_dir:
@@ -244,7 +271,7 @@ def run_training(cfg: dict) -> dict:
         print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
 
         state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
-                                 data_sharding, exp_out_dir)
+                                 data_sharding, exp_out_dir, aug_step=aug_step)
         if val_loader is not None:
             do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding)
 
@@ -275,7 +302,7 @@ def _host_metrics(batch, dataset, preds, tel, prefix):
 
 
 def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
-                     exp_out_dir):
+                     exp_out_dir, aug_step=None):
     import time
 
     import jax.numpy as jnp
@@ -328,6 +355,11 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             break
         tel['data_load_time'].add(load_s)
         window_load_s += load_s
+        if aug_step is not None:
+            # On-device warp+colour+normalise (enqueued async; overlaps with
+            # the previous train step like any other device work).
+            batch['input'] = aug_step(batch['raw_image'], batch['aug_affine'],
+                                      batch['aug_colour'])
         device_batch = {
             'input': batch['input'],
             'target': batch['target'],

@@ -26,9 +26,36 @@ from margipose_tpu.geometry.transforms import TransformerContext
 
 
 class PoseDataset(ABC):
+    # On-device augmentation (BASELINE north star): when ``device_aug`` is
+    # set on a dataset with a fixed raw source size (``raw_size``), samples
+    # carry the raw uint8 frame + the composed affine + colour params instead
+    # of a host-warped 'input'; the trainer applies
+    # ops.image.device_augment as one fused XLA program over the batch.
+    device_aug = False
+    raw_size = None  # (height, width) of raw frames, when fixed
+
     def __init__(self, data_specs: DataSpecs):
         self.data_specs = data_specs
         self.skeleton_normaliser = SkeletonNormaliser()
+
+    def device_aug_fields(self, ctx: "TransformerContext", orig_image) -> dict:
+        """Sample fields for the on-device augmentation path."""
+        if isinstance(orig_image, np.ndarray):
+            arr = orig_image
+        else:
+            img = orig_image.convert('RGB') if orig_image.mode != 'RGB' else orig_image
+            arr = np.asarray(img)
+        assert self.raw_size is not None and arr.shape[:2] == tuple(self.raw_size), (
+            f'device_aug needs fixed {self.raw_size} raw frames, got {arr.shape}')
+        affine = np.eye(3, dtype=np.float32)
+        a = np.asarray(ctx.affine, np.float32)
+        affine[:a.shape[0]] = a
+        o = ctx.opts
+        colour = np.asarray([o.get('brightness', 1.0), o.get('contrast', 1.0),
+                             o.get('saturation', 1.0), o.get('hue', 0.0)],
+                            np.float32)
+        return {'raw_image': np.ascontiguousarray(arr),
+                'aug_affine': affine, 'aug_colour': colour}
 
     # ------------------------------------------------------------------ #
     # Sampling

@@ -14,8 +14,10 @@ from concurrent.futures import ThreadPoolExecutor
 from margipose_tpu.data.base import SequentialSampler, collate
 
 # Batch fields shipped to the device; everything else stays host-side for
-# the eval/untransform paths.
-DEVICE_FIELDS = ('input', 'target', 'joint_mask', 'valid_depth')
+# the eval/untransform paths. The raw_image/aug_* fields exist only in the
+# on-device-augmentation mode (PoseDataset.device_aug).
+DEVICE_FIELDS = ('input', 'target', 'joint_mask', 'valid_depth',
+                 'raw_image', 'aug_affine', 'aug_colour')
 
 
 class DataLoader:

@@ -11,9 +11,16 @@ from margipose_tpu.utils import draw_skeleton_2d
 
 
 def _create_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
-                       use_aug, num_workers=4, seed=None):
+                       use_aug, num_workers=4, seed=None, device_aug=False):
     datasets = [get_dataset(name, data_specs, use_aug=use_aug) for name in dataset_names]
     assert len(datasets) > 0, 'at least one dataset must be specified'
+    if device_aug:
+        sizes = {d.raw_size for d in datasets}
+        assert None not in sizes and len(sizes) == 1, (
+            f'device_aug=True needs all datasets to share one fixed raw frame '
+            f'size; got {[(n, d.raw_size) for n, d in zip(dataset_names, datasets)]}')
+        for d in datasets:
+            d.device_aug = True
     dataset = datasets[0] if len(datasets) == 1 else MixedPoseDataset(datasets)
     return DataLoader(
         dataset,
@@ -25,9 +32,11 @@ def _create_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch
 
 
 def create_train_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
-                            use_aug=True, num_workers=4, seed=None):
+                            use_aug=True, num_workers=4, seed=None,
+                            device_aug=False):
     return _create_dataloader(dataset_names, data_specs, batch_size,
-                              examples_per_epoch, use_aug, num_workers, seed)
+                              examples_per_epoch, use_aug, num_workers, seed,
+                              device_aug=device_aug)
 
 
 def create_val_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,

@@ -1,0 +1,85 @@
+"""On-device augmentation path (BASELINE north star): datasets emit raw
+frames + composed affines + colour params, and ops.image.device_augment
+applies warp + colour + normalise as one fused XLA program over the batch.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from margipose_tpu.data.loader import device_prefetch, make_dataloader
+from margipose_tpu.data.synthetic import SyntheticPoseDataset
+from margipose_tpu.ops.image import device_augment
+
+
+def _aug_input(batch, out_h, out_w, mean, std):
+    raw = jnp.asarray(batch['raw_image']).astype(jnp.float32) / 255.0
+    colour = jnp.asarray(batch['aug_colour'])
+    return device_augment(raw, jnp.asarray(batch['aug_affine']), out_h, out_w,
+                          colour[:, 0], colour[:, 1], colour[:, 2],
+                          colour[:, 3], mean, std)
+
+
+def test_device_aug_sample_fields():
+    ds = SyntheticPoseDataset(length=4, use_aug=True, seed=3, image_size=128)
+    ds.device_aug = True
+    s = ds[0]
+    assert 'input' not in s
+    assert s['raw_image'].shape == (128, 128, 3) and s['raw_image'].dtype == np.uint8
+    assert s['aug_affine'].shape == (3, 3)
+    assert s['aug_colour'].shape == (4,)
+    # geometry fields unchanged by the mode
+    assert s['target'].shape[-2] == 17
+
+
+def test_device_aug_matches_host_pipeline():
+    """Same example, same seed: the fused on-device warp+colour+normalise
+    must match the host path's 'input' (which quantises to uint8 between
+    colour and normalise, hence the tolerance)."""
+    host = SyntheticPoseDataset(length=2, use_aug=True, seed=11, image_size=128)
+    dev = SyntheticPoseDataset(length=2, use_aug=True, seed=11, image_size=128)
+    dev.device_aug = True
+
+    spec = host.data_specs.input_specs
+    for i in range(2):
+        h_sample = host[i]
+        d_sample = dev[i]
+        np.testing.assert_allclose(h_sample['target'], d_sample['target'],
+                                   atol=1e-6)
+        batch = {k: np.asarray(v)[None] for k, v in d_sample.items()
+                 if k in ('raw_image', 'aug_affine', 'aug_colour')}
+        out = np.asarray(_aug_input(batch, spec.height, spec.width,
+                                    tuple(spec.mean), tuple(spec.stddev)))[0]
+        assert out.shape == h_sample['input'].shape
+        err = np.abs(out - h_sample['input'])
+        # normalised units; 0.05 ~= 2.5 grey levels
+        assert np.percentile(err, 99) < 0.06, float(np.percentile(err, 99))
+        assert err.mean() < 0.02, float(err.mean())
+
+
+def test_device_aug_end_to_end_training():
+    """run_training with device_aug=True on the synthetic dataset."""
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple',
+        'out_dir=', 'epochs=1', 'batch_size=8', 'train_examples=16',
+        'val_examples=0', 'lr=0.02', 'num_workers=0', 'metrics_every=1',
+        'device_aug=True', 'use_aug=True',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-16"]', 'val_datasets=[]',
+    ])
+    result = run_training(cfg)
+    assert np.isfinite(result['train_mpjpe'])
+
+
+def test_device_prefetch_ships_raw_fields():
+    ds = SyntheticPoseDataset(length=4, use_aug=True, seed=0, image_size=64)
+    ds.device_aug = True
+    loader = make_dataloader(ds, batch_size=2)
+    batch = next(iter(device_prefetch(iter(loader))))
+    import jax
+
+    assert isinstance(batch['raw_image'], jax.Array)
+    assert isinstance(batch['aug_affine'], jax.Array)
