@@ -1,0 +1,120 @@
+"""The REAL H36MDataset and MpiiDataset driven on procedural miniature
+datasets in their processed layouts (margipose_tpu/data/fakes.py).
+(reference: src/margipose/data/h36m/__init__.py, src/margipose/data/mpii/__init__.py —
+the reference has NO tests for these at all.)
+"""
+
+import numpy as np
+import pytest
+
+from margipose_tpu.data.fakes import generate_fake_h36m, generate_fake_mpii
+from margipose_tpu.data.specs import DataSpecs, ImageSpecs, JointsSpecs
+from margipose_tpu.geometry.coords import ensure_homogeneous
+from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+
+def canonical_specs():
+    return DataSpecs(ImageSpecs(256), JointsSpecs(CanonicalSkeletonDesc, n_dims=3))
+
+
+@pytest.fixture(scope='module')
+def h36m_dir(tmp_path_factory):
+    return generate_fake_h36m(str(tmp_path_factory.mktemp('fake_h36m')),
+                              subjects=(1, 9), camera_ids=(1, 2), n_frames=3)
+
+
+@pytest.fixture(scope='module')
+def mpii_dir(tmp_path_factory):
+    return generate_fake_mpii(str(tmp_path_factory.mktemp('fake_mpii')),
+                              n_train=4, n_val=2)
+
+
+def test_h36m_protocol2_split(h36m_dir):
+    from margipose_tpu.data.h36m import H36MDataset
+
+    train = H36MDataset(h36m_dir, data_specs=canonical_specs(), subset='trainval')
+    test = H36MDataset(h36m_dir, data_specs=canonical_specs(), subset='test')
+    # subjects (1,) train / (9,) test, 2 cameras x 3 frames each
+    assert len(train) == 6
+    assert len(test) == 6
+    s = train[0]
+    assert s['input'].shape == (256, 256, 3)
+    assert s['target'].shape[-2] == 17
+    assert s['valid_depth'] == 1
+
+
+def test_h36m_known_depth_eval(h36m_dir):
+    from margipose_tpu.data.h36m import H36MDataset
+    from margipose_tpu.data.loader import make_dataloader
+
+    ds = H36MDataset(h36m_dir, data_specs=canonical_specs(), subset='test')
+    loader = make_dataloader(ds, batch_size=len(ds))
+    batch = next(iter(loader))
+    preds = ensure_homogeneous(np.asarray(batch['target'], np.float64), d=3)
+    metrics = ds.evaluate_3d_batch(batch, preds)
+    # known root depth (reference: src/margipose/data/h36m/__init__.py:212-217):
+    # perfect predictions denormalise exactly -> ~0 MPJPE
+    for m in metrics:
+        assert m['mpjpe'] < 1e-3, m
+
+
+def test_h36m_augmentation_and_multicrop(h36m_dir):
+    from margipose_tpu.data.h36m import H36MDataset
+
+    ds = H36MDataset(h36m_dir, data_specs=canonical_specs(), subset='trainval',
+                     use_aug=True, seed=5)
+    for i in range(len(ds)):
+        s = ds[i]
+        assert np.isfinite(s['input']).all()
+    ds.multicrop = True
+    batch = ds[0]
+    assert batch['input'].shape == (10, 256, 256, 3)
+
+
+def test_mpii_2d_dataset(mpii_dir):
+    from margipose_tpu.data.mpii import MpiiDataset
+
+    ds = MpiiDataset(mpii_dir, data_specs=canonical_specs(), subset='train',
+                     use_aug=False)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s['input'].shape == (256, 256, 3)
+    assert s['valid_depth'] == 0  # 2D-only supervision
+    assert s['joint_mask'].shape == (17,)
+    # interpolated head + moved spine joints are inside the mask where visible
+    assert s['joint_mask'].max() == 1.0
+
+
+def test_mpii_trainval_split_and_aug(mpii_dir):
+    from margipose_tpu.data.mpii import MpiiDataset
+
+    ds = MpiiDataset(mpii_dir, data_specs=canonical_specs(), subset='trainval',
+                     use_aug=True, seed=3)
+    assert len(ds) == 6
+    for i in range(len(ds)):
+        s = ds[i]
+        assert np.isfinite(s['input']).all()
+        assert np.isfinite(s['target']).all()
+
+
+def test_mixed_mpi3d_mpii_loader(mpii_dir, tmp_path_factory):
+    """The production mixed 2D/3D batch shape: mpi3d + mpii round-robin."""
+    from margipose_tpu.data.fake_mpi3d import generate_fake_mpi3d
+    from margipose_tpu.data.loader import make_dataloader
+    from margipose_tpu.data.mixed import MixedPoseDataset
+    from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+    from margipose_tpu.data.mpii import MpiiDataset
+
+    mpi_dir = generate_fake_mpi3d(str(tmp_path_factory.mktemp('mpi3d')),
+                                  seqs=((2, 2),), camera_ids=(0,), n_frames=4)
+    specs = canonical_specs()
+    mixed = MixedPoseDataset([
+        MpiInf3dDataset(mpi_dir, data_specs=specs),
+        MpiiDataset(mpii_dir, data_specs=specs, subset='train'),
+    ])
+    loader = make_dataloader(mixed, batch_size=4,
+                             sampler=mixed.sampler(examples_per_epoch=8, seed=0))
+    batch = next(iter(loader))
+    vd = np.asarray(batch['valid_depth'])
+    assert batch['input'].shape == (4, 256, 256, 3)
+    assert set(vd.tolist()) == {0, 1}, vd  # both 3D and 2D examples present
