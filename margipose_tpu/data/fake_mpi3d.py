@@ -107,11 +107,14 @@ def _render_masks(pose, img_size):
 
 def generate_fake_mpi3d(out_dir, seqs=((1, 1),), camera_ids=(0, 2),
                         n_frames=4, img_size=768, seed=0,
-                        with_images=True):
+                        with_images=True, with_activities=False):
     """Write a miniature processed-layout MPI-INF-3DHP dataset to ``out_dir``.
 
     Frames jitter the base pose by >200 mm translation steps so every frame
-    passes the reference's interesting-frame criterion. Returns ``out_dir``.
+    passes the reference's interesting-frame criterion. With
+    ``with_activities`` an ``annot_data.mat`` (HDF5/v7.3) carrying per-frame
+    activity ids is written, as in the preprocessed test set. Returns
+    ``out_dir``.
     """
     import h5py
 
@@ -141,6 +144,11 @@ def generate_fake_mpi3d(out_dir, seqs=((1, 1),), camera_ids=(0, 2),
 
         with open(path.join(seq_dir, 'camera.calibration'), 'w') as f:
             f.write(_calibration_text(camera_ids))
+
+        if with_activities:
+            with h5py.File(path.join(seq_dir, 'annot_data.mat'), 'w') as f:
+                f['activity_annotation'] = (
+                    np.arange(n_frames, dtype=np.float64) % 8 + 1).reshape(1, -1)
 
         if not with_images:
             continue

@@ -16,7 +16,10 @@ from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
 from margipose_tpu.data.mpii import MpiiDataset
 from margipose_tpu.data.synthetic import SyntheticPoseDataset
 
-Base_Data_Dir = environ.get('MARGIPOSE_BASE_DATA_DIR', '/datasets')
+def base_data_dir() -> str:
+    """Resolve the dataset root at call time so ``MARGIPOSE_BASE_DATA_DIR``
+    set after import (tests, notebooks) still takes effect."""
+    return environ.get('MARGIPOSE_BASE_DATA_DIR', '/datasets')
 
 
 def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
@@ -26,7 +29,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
     if mpi3d_match:
         subset = mpi3d_match[1]
         return MpiInf3dDataset(
-            path.join(Base_Data_Dir, 'mpi3d', subset),
+            path.join(base_data_dir(), 'mpi3d', subset),
             data_specs=data_specs,
             use_aug=(use_aug and not subset.startswith('test')),
         )
@@ -40,7 +43,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
     if h36m_match:
         subset = h36m_match[1]
         return H36MDataset(
-            path.join(Base_Data_Dir, 'h36m'),
+            path.join(base_data_dir(), 'h36m'),
             data_specs=data_specs, subset=subset,
             use_aug=(use_aug and subset != 'test'),
         )
@@ -49,7 +52,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
     if mpii_match:
         subset = mpii_match[1]
         return MpiiDataset(
-            path.join(Base_Data_Dir, 'mpii'),
+            path.join(base_data_dir(), 'mpii'),
             data_specs=data_specs, subset=subset,
             use_aug=(use_aug and subset != 'test'),
         )

@@ -88,11 +88,12 @@ def skeleton_mpi3d_univ():
 
 @pytest.fixture
 def base_data_dir():
-    from margipose_tpu.data.get_dataset import Base_Data_Dir
+    from margipose_tpu.data import get_dataset
 
-    if not os.path.isdir(Base_Data_Dir):
+    data_dir = get_dataset.base_data_dir()
+    if not os.path.isdir(data_dir):
         pytest.skip("base data directory not found")
-    return Base_Data_Dir
+    return data_dir
 
 
 @pytest.fixture

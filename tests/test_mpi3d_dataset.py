@@ -79,3 +79,35 @@ def test_eval_path_with_perfect_predictions(fake_dir):
         # heuristic, so even perfect normalised predictions carry a small
         # scale error — but nothing like a wrong-path blowup.
         assert m['aligned_mpjpe'] < 120, m
+
+
+def test_eval_cli_on_fake_mpi3d_test(tmp_path, monkeypatch, capsys):
+    """The production eval surface (gate config #2 shape): eval CLI on
+    mpi3d-test with by-sequence / by-activity / overall tables
+    (reference: src/margipose/bin/eval_3d.py:97-163)."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    base = tmp_path / 'datasets'
+    generate_fake_mpi3d(str(base / 'mpi3d' / 'test'), seqs=((1, 1),),
+                        camera_ids=(0,), n_frames=2, with_activities=True)
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
+
+    out_dir = str(tmp_path / 'out')
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple', f'out_dir={out_dir}', 'epochs=1',
+        'batch_size=8', 'train_examples=8', 'val_examples=0', 'lr=0.02',
+        'num_workers=0', 'metrics_every=1', 'experiment_id=t',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-8"]', 'val_datasets=[]', 'use_aug=False',
+    ])
+    run_training(cfg)
+    ckpt = str(tmp_path / 'out' / 't' / 'model-latest')
+
+    eval_main(['eval', '--model', ckpt, '--dataset', 'mpi3d-test'],
+              {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'By sequence' in out and 'By activity' in out and 'Overall' in out
+    assert 'S1/Seq1' in out
