@@ -164,3 +164,47 @@ def test_export_cli(trained_ckpt, tmp_path):
     out = exported.call(jnp.zeros((1, 96, 96, 3), jnp.float32))
     assert out.shape == (1, 17, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hyperparams_cli(tmp_path, capsys):
+    """LR range search end-to-end on synthetic data: geometric lr sweep,
+    EMA-smoothed losses, CSV + PNG artifacts
+    (reference: src/margipose/bin/hyperparam_search.py:72-171)."""
+    from margipose_tpu.bin.hyperparam_search import ex as hp_ex, run_lr_range_test
+
+    out_dir = str(tmp_path / 'out')
+    cfg = hp_ex.parse([
+        'with', 'synthetic', f'out_dir={out_dir}', 'batch_size=4',
+        'max_iters=6', 'num_workers=0', 'use_aug=False',
+        'lr_min=1e-4', 'lr_max=0.1',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-24"]',
+    ])
+    out = run_lr_range_test(cfg)
+    assert 0 < len(out['lrs']) <= 6
+    assert len(out['losses']) == len(out['lrs'])
+    # geometric sweep from lr_min towards lr_max
+    assert out['lrs'] == sorted(out['lrs'])
+    assert abs(out['lrs'][0] - 1e-4) < 1e-8
+    assert all(np.isfinite(v) for v in out['losses'])
+    import glob
+
+    assert glob.glob(path.join(out_dir, 'lrfind-*', 'lr_curve.csv'))
+    assert glob.glob(path.join(out_dir, 'lrfind-*', 'lr_curve.png'))
+
+
+def test_calc_dataloader_stats_cli(tmp_path, capsys):
+    """Dataloader statistics tool end-to-end on synthetic data
+    (reference: src/margipose/bin/calc_dataloader_stats.py:70-153)."""
+    from margipose_tpu.bin.calc_dataloader_stats import main as stats_main
+
+    out_file = str(tmp_path / 'stats.png')
+    stats_main(['stats', '--dataset', 'synthetic-16', '--batch-size', '8',
+                '--examples', '16', '--out-file', out_file])
+    out = capsys.readouterr().out
+    assert 'target_x' in out and 'pixels' in out
+    # 16 examples x 17 joints per coordinate tracker
+    assert 'n=272' in out
+    assert path.isfile(out_file)

@@ -118,3 +118,36 @@ def test_mixed_mpi3d_mpii_loader(mpii_dir, tmp_path_factory):
     vd = np.asarray(batch['valid_depth'])
     assert batch['input'].shape == (4, 256, 256, 3)
     assert set(vd.tolist()) == {0, 1}, vd  # both 3D and 2D examples present
+
+
+def test_eval_cli_on_fake_h36m_test(tmp_path, monkeypatch, capsys):
+    """The production eval surface for h36m (gate config #3 shape): known
+    root-joint depth, all 17 canonical joints
+    (reference: src/margipose/bin/eval_3d.py:121-146)."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    base = tmp_path / 'datasets'
+    generate_fake_h36m(str(base / 'h36m'), subjects=(9,), camera_ids=(1,),
+                       n_frames=2)
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
+
+    out_dir = str(tmp_path / 'out')
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple', f'out_dir={out_dir}', 'epochs=1',
+        'batch_size=8', 'train_examples=8', 'val_examples=0', 'lr=0.02',
+        'num_workers=0', 'metrics_every=1', 'experiment_id=t',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-8"]', 'val_datasets=[]', 'use_aug=False',
+    ])
+    run_training(cfg)
+    ckpt = str(tmp_path / 'out' / 't' / 'model-latest')
+
+    eval_main(['eval', '--model', ckpt, '--dataset', 'h36m-test'],
+              {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'Use ground truth root joint depth? True' in out
+    assert 'Number of joints in evaluation: 17' in out
+    assert 'Overall' in out
