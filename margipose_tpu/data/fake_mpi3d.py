@@ -169,3 +169,71 @@ def generate_fake_mpi3d(out_dir, seqs=((1, 1),), camera_ids=(0, 2),
                 for name, m in _render_masks(poses[t], img_size).items():
                     m.save(path.join(mask_dirs[name], f'img_{t + 1:06d}.png'))
     return out_dir
+
+
+def generate_fake_raw_mpi3d_test(out_dir, n_frames=3, img_size=512, seed=0):
+    """Write a miniature RAW MPI-INF-3DHP test set (TS1..TS6) to ``out_dir``,
+    in the layout ``margipose_preprocess_mpi3d -t`` consumes
+    (reference: src/margipose/data/mpi_inf_3dhp/raw.py,
+    src/margipose/bin/preprocess_mpi3d.py:190-243): per-sequence
+    ``annot_data.mat`` (HDF5/v7.3 with valid_frame, activity_annotation, and
+    17-joint annot2/annot3/univ_annot3) plus ``imageSequence/img_NNNNNN.jpg``.
+
+    annot2 is an exact pinhole projection of annot3 so the preprocessor's
+    least-squares intrinsics inference recovers the camera, and univ_annot3
+    is root-relative annot3 scaled by exactly 1/1.05 so the universal-scale
+    factor computation succeeds. The last frame is marked invalid to exercise
+    the valid-frame filter. Returns ``out_dir``.
+    """
+    import h5py
+
+    from margipose_tpu.data.mpi_inf_3dhp import MPI3D_TO_CANONICAL
+    from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+    rng = np.random.RandomState(seed)
+    focal = img_size * 1.0
+    centre = img_size / 2.0
+    base_pose_17 = BASE_POSE_28[MPI3D_TO_CANONICAL]
+    root_id = CanonicalSkeletonDesc.root_joint_id
+    scale = 1.05
+
+    for seq_id in ('TS1', 'TS2', 'TS3', 'TS4', 'TS5', 'TS6'):
+        seq_dir = path.join(out_dir, seq_id)
+        img_dir = path.join(seq_dir, 'imageSequence')
+        os.makedirs(img_dir, exist_ok=True)
+
+        annot3 = np.zeros((n_frames, 1, 17, 3))
+        poses = []
+        for t in range(n_frames):
+            offset = np.array([(t - n_frames / 2) * 260.0,
+                               rng.uniform(-40, 40), rng.uniform(-60, 60)])
+            pose = base_pose_17 + offset
+            poses.append(pose)
+            annot3[t, 0] = pose
+        annot2 = annot3[..., :2] / annot3[..., 2:3] * focal + centre
+        root = annot3[:, :, root_id:root_id + 1, :]
+        univ_annot3 = (annot3 - root) / scale + root
+        valid = np.ones((n_frames, 1), np.float64)
+        valid[-1] = 0  # exercise the valid-frame filter
+
+        with h5py.File(path.join(seq_dir, 'annot_data.mat'), 'w') as f:
+            f['annot2'] = annot2
+            f['annot3'] = annot3
+            f['univ_annot3'] = univ_annot3
+            f['valid_frame'] = valid
+            f['activity_annotation'] = (
+                np.arange(n_frames, dtype=np.float64) % 8 + 1).reshape(-1, 1)
+
+        for t in range(n_frames):
+            # raw test frames are full-resolution; the preprocessor resizes
+            # them to height 768 (reference: preprocess.py:198-204)
+            img = PIL.Image.new(
+                'RGB', (img_size, img_size),
+                tuple(int(c) for c in rng.randint(30, 120, 3)))
+            draw = PIL.ImageDraw.Draw(img)
+            pts = annot2[t, 0]
+            x0, y0 = pts.min(axis=0)
+            x1, y1 = pts.max(axis=0)
+            draw.ellipse([x0, y0, x1, y1], fill=(170, 130, 100))
+            img.save(path.join(img_dir, f'img_{t + 1:06d}.jpg'), quality=90)
+    return out_dir

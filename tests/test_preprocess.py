@@ -4,6 +4,7 @@ src/margipose/data/mpi_inf_3dhp/preprocess.py). The ffmpeg frame-extraction
 subprocess is exercised only when ffmpeg exists on the host."""
 
 import io
+from os import path
 
 import numpy as np
 import PIL.Image
@@ -99,3 +100,50 @@ def test_is_image_ok_rejects_flash_frames(tmp_path):
     flash.save(p2)
     assert is_image_ok(str(p1))
     assert not is_image_ok(str(p2))
+
+
+def test_preprocess_cli_test_set_end_to_end(tmp_path):
+    """Drive the preprocess CLI's test-set path (the only one that needs no
+    ffmpeg) on a fake RAW test set, then load the output with the REAL
+    MpiInf3dDataset (reference: src/margipose/bin/preprocess_mpi3d.py:40-88,
+    src/margipose/data/mpi_inf_3dhp/preprocess.py:190-243)."""
+    import h5py
+
+    from margipose_tpu.bin.preprocess_mpi3d import main as preprocess_main
+    from margipose_tpu.data.fake_mpi3d import generate_fake_raw_mpi3d_test
+    from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+    from margipose_tpu.data.specs import DataSpecs, ImageSpecs, JointsSpecs
+    from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+    raw_dir = str(tmp_path / 'raw')
+    out_dir = str(tmp_path / 'processed')
+    generate_fake_raw_mpi3d_test(raw_dir, n_frames=3, img_size=512)
+
+    preprocess_main(['preprocess', '-t', raw_dir, '-o', out_dir])
+
+    # Processed layout: resized frames, inferred-intrinsics calibration,
+    # metadata.h5 with 17-joint annotations and valid-frame selection.
+    seq_dir = path.join(out_dir, 'test', 'S1', 'Seq1')
+    with h5py.File(path.join(seq_dir, 'metadata.h5'), 'r') as f:
+        assert f['joints3d'].shape == (1, 3, 17, 3)
+        assert abs(float(f['scale'][0]) - 1.05) < 1e-9
+        # last frame was marked invalid
+        assert list(f['interesting_frames/camera0']) == [0, 1]
+    # inferred pinhole intrinsics recover the generator's camera (f=512,
+    # c=256 at the raw 512px size)
+    calib = open(path.join(seq_dir, 'camera.calibration')).read()
+    intr = [float(v) for v in
+            [line for line in calib.splitlines() if 'intrinsic' in line][0].split()[1:]]
+    assert abs(intr[0] - 512) < 1.0 and abs(intr[2] - 256) < 1.0
+    img = PIL.Image.open(path.join(seq_dir, 'imageSequence', 'video_0',
+                                   'img_000001.jpg'))
+    assert img.height == 768
+
+    # The REAL dataset class consumes the preprocessed output end-to-end.
+    specs = DataSpecs(ImageSpecs(96), JointsSpecs(CanonicalSkeletonDesc, n_dims=3))
+    ds = MpiInf3dDataset(path.join(out_dir, 'test'), data_specs=specs)
+    assert len(ds) == 6 * 2  # 6 sequences x 2 valid frames
+    example = ds[0]
+    assert example['input'].shape == (96, 96, 3)
+    assert example['target'].shape == (17, 4)  # homogeneous
+    assert ds.frame_refs[0].activity_id == 1
