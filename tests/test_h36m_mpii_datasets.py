@@ -4,6 +4,8 @@ datasets in their processed layouts (margipose_tpu/data/fakes.py).
 the reference has NO tests for these at all.)
 """
 
+from os import path
+
 import numpy as np
 import pytest
 
@@ -151,3 +153,35 @@ def test_eval_cli_on_fake_h36m_test(tmp_path, monkeypatch, capsys):
     assert 'Use ground truth root joint depth? True' in out
     assert 'Number of joints in evaluation: 17' in out
     assert 'Overall' in out
+
+
+def test_train_cli_mixed_mpi3d_mpii_with_aug(tmp_path, monkeypatch):
+    """Gate config #5 shape through the production trainer: mixed 2D/3D
+    round-robin training on real dataset classes (fake miniature data) with
+    FULL augmentation — compositing (backgrounds + clothing masks), affine
+    warp, colour jitter — and the vectorised per-example 3D/2D loss switch
+    (reference: src/margipose/bin/train_3d.py:126-142,229-264)."""
+    from margipose_tpu.bin.train_3d import ex, run_training
+    from margipose_tpu.data.fake_mpi3d import generate_fake_mpi3d
+
+    base = tmp_path / 'datasets'
+    generate_fake_mpi3d(str(base / 'mpi3d' / 'train'), seqs=((1, 1),),
+                        camera_ids=(0,), n_frames=3)
+    generate_fake_mpi3d(str(base / 'mpi3d' / 'val'), seqs=((2, 1),),
+                        camera_ids=(0,), n_frames=3, seed=1)
+    generate_fake_mpii(str(base / 'mpii'), n_train=4, n_val=2)
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
+
+    out_dir = str(tmp_path / 'out')
+    cfg = ex.parse([
+        'with', 'mpi3d', 'sgd_simple', f'out_dir={out_dir}', 'epochs=1',
+        'batch_size=8', 'train_examples=16', 'val_examples=0', 'lr=0.02',
+        'num_workers=0', 'metrics_every=1', 'experiment_id=t', 'use_aug=True',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+    ])
+    assert cfg['train_datasets'] == ['mpi3d-trainval', 'mpii-trainval']
+    result = run_training(cfg)
+    assert result['train_pck'] is not None
+    assert path.isdir(path.join(out_dir, 't', 'model-latest'))
