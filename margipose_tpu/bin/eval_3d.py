@@ -33,6 +33,10 @@ def parse_args(argv):
                         help='dataset to evaluate on')
     parser.add_argument('--multicrop', action='store_true',
                         help='enable the use of multiple crops')
+    parser.add_argument('--batch-size', type=int, metavar='N', default=1,
+                        help='examples per forward pass (ignored with '
+                             '--multicrop); the reference evaluates at batch '
+                             '1, larger batches amortise TPU dispatch cost')
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='compute dtype (float32 for checkpoint-parity '
@@ -41,8 +45,14 @@ def parse_args(argv):
 
 
 def obtain_predictions(forward, loader, known_depth=False,
-                       print_progress=False):
-    """(reference: src/margipose/bin/eval_3d.py:48-94)"""
+                       print_progress=False, multicrop=False, batch_size=1):
+    """(reference: src/margipose/bin/eval_3d.py:48-94)
+
+    With ``multicrop`` each loader item is one example's 10-crop batch and
+    yields ONE crop-averaged prediction (the reference's only batched mode);
+    otherwise yields one prediction per example, so ``batch_size`` > 1
+    amortises the per-dispatch cost on TPU. Short tail batches are padded to
+    ``batch_size`` to keep a single compiled shape."""
     iterable = loader
     if print_progress:
         try:
@@ -56,10 +66,20 @@ def obtain_predictions(forward, loader, known_depth=False,
     for batch in iterable:
         import jax.numpy as jnp
 
-        in_var = jnp.asarray(batch['input'])
-        target = jnp.asarray(batch['target'][..., :3])
-        valid_depth = jnp.asarray(np.asarray(batch['valid_depth'], np.int32))
-        mask = jnp.asarray(batch['joint_mask'])
+        n_real = int(np.asarray(batch['valid_depth']).shape[0])
+        pad = 0 if multicrop else max(batch_size - n_real, 0)
+
+        def _pad(arr):
+            arr = np.asarray(arr)
+            if pad == 0:
+                return arr
+            return np.concatenate(
+                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+
+        in_var = jnp.asarray(_pad(batch['input']))
+        target = jnp.asarray(_pad(batch['target'][..., :3]))
+        valid_depth = jnp.asarray(_pad(np.asarray(batch['valid_depth'], np.int32)))
+        mask = jnp.asarray(_pad(batch['joint_mask']))
 
         inference_time = None
         if timed_batches < 3:
@@ -85,31 +105,44 @@ def obtain_predictions(forward, loader, known_depth=False,
         xyz, loss = forward(in_var, target, mask, valid_depth)
         loss = float(loss)  # real sync: completes only after the forward
 
-        norm_preds = ensure_homogeneous(np.asarray(xyz, np.float64), d=3)
+        norm_preds = ensure_homogeneous(
+            np.asarray(xyz, np.float64)[:n_real], d=3)
 
-        actuals = []
-        expected = None
-        for i, norm_pred in enumerate(norm_preds):
-            expected_i, actual_i = prepare_for_3d_evaluation(
-                batch['original_skel'][i], norm_pred, loader.dataset,
-                batch['camera_intrinsic'][i], batch['transform_opts'][i],
-                known_depth=known_depth)
-            expected = expected_i
-            actuals.append(actual_i)
-        actual = np.stack(actuals, 0).mean(0)
-
-        frame_ref = None
-        if 'frame_ref' in batch:
+        def _frame_ref(i):
+            if 'frame_ref' not in batch:
+                return None
             fr = batch['frame_ref']
-            frame_ref = fr[0] if isinstance(fr, list) else {
-                k: np.asarray(v)[0] for k, v in fr.items()}
+            return fr[i] if isinstance(fr, list) else {
+                k: np.asarray(v)[i] for k, v in fr.items()}
 
-        yield dict(expected=expected, actual=actual, frame_ref=frame_ref,
-                   inference_time=inference_time, loss=loss)
+        if multicrop:
+            # one example's crops: average predictions over crops
+            actuals = []
+            expected = None
+            for i, norm_pred in enumerate(norm_preds):
+                expected, actual_i = prepare_for_3d_evaluation(
+                    batch['original_skel'][i], norm_pred, loader.dataset,
+                    batch['camera_intrinsic'][i], batch['transform_opts'][i],
+                    known_depth=known_depth)
+                actuals.append(actual_i)
+            actual = np.stack(actuals, 0).mean(0)
+            yield dict(expected=expected, actual=actual, frame_ref=_frame_ref(0),
+                       inference_time=inference_time, loss=loss)
+        else:
+            for i, norm_pred in enumerate(norm_preds):
+                expected, actual = prepare_for_3d_evaluation(
+                    batch['original_skel'][i], norm_pred, loader.dataset,
+                    batch['camera_intrinsic'][i], batch['transform_opts'][i],
+                    known_depth=known_depth)
+                yield dict(expected=expected, actual=actual,
+                           frame_ref=_frame_ref(i),
+                           inference_time=inference_time if i == 0 else None,
+                           loss=loss if i == 0 else None)
 
 
 def run_evaluation_3d(forward, loader, included_joints,
-                      known_depth=False, print_progress=False):
+                      known_depth=False, print_progress=False,
+                      multicrop=False, batch_size=1):
     """(reference: src/margipose/bin/eval_3d.py:97-118)"""
     loss_meter = MeanValueMeter()
     time_meter = MedianValueMeter()
@@ -117,10 +150,12 @@ def run_evaluation_3d(forward, loader, included_joints,
              aligned_pck=[], auc=[], mpjpe=[], pck=[])
 
     for pred in obtain_predictions(forward, loader, known_depth,
-                                   print_progress):
+                                   print_progress, multicrop=multicrop,
+                                   batch_size=batch_size):
         if pred['inference_time'] is not None:
             time_meter.add(pred['inference_time'])
-        loss_meter.add(pred['loss'])
+        if pred['loss'] is not None:
+            loss_meter.add(pred['loss'])
         metrics = gather_3d_metrics(pred['expected'], pred['actual'], included_joints)
         if pred['frame_ref']:
             d['seq_id'].append(
@@ -159,7 +194,7 @@ def main(argv, common_opts):
         dataset.multicrop = True
         loader = make_unbatched_dataloader(dataset)
     else:
-        loader = make_dataloader(dataset, batch_size=1)
+        loader = make_dataloader(dataset, batch_size=args.batch_size)
 
     if args.dataset.startswith('h36m-'):
         known_depth = True
@@ -192,7 +227,9 @@ def main(argv, common_opts):
     forward = jitted
 
     df, stats = run_evaluation_3d(forward, loader, included_joints,
-                                  known_depth=known_depth, print_progress=True)
+                                  known_depth=known_depth, print_progress=True,
+                                  multicrop=args.multicrop,
+                                  batch_size=args.batch_size)
 
     print('### By sequence\n')
     _print_table(df.drop(columns=['activity_id']).groupby('seq_id').mean())

@@ -208,3 +208,25 @@ def test_calc_dataloader_stats_cli(tmp_path, capsys):
     # 16 examples x 17 joints per coordinate tracker
     assert 'n=272' in out
     assert path.isfile(out_file)
+
+
+def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
+    """--batch-size N amortises TPU dispatch without changing metrics: the
+    batched eval (incl. a padded tail batch) must reproduce the batch-1
+    per-example metrics."""
+    import re
+
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    def overall_mpjpe(args):
+        eval_main(args, {'device': 'auto'})
+        out = capsys.readouterr().out
+        table = out.split('### Overall')[1]
+        row = [ln for ln in table.splitlines() if ln.startswith('|  0')][0]
+        return float(row.split('|')[-2])  # mpjpe is the second-to-last column
+
+    m1 = overall_mpjpe(['eval', '--model', trained_ckpt,
+                        '--dataset', 'synthetic-6'])
+    m4 = overall_mpjpe(['eval', '--model', trained_ckpt,
+                        '--dataset', 'synthetic-6', '--batch-size', '4'])
+    assert abs(m1 - m4) < 1e-3, (m1, m4)
