@@ -81,19 +81,17 @@ def test_eval_path_with_perfect_predictions(fake_dir):
         assert m['aligned_mpjpe'] < 120, m
 
 
-def test_eval_cli_on_fake_mpi3d_test(tmp_path, monkeypatch, capsys):
-    """The production eval surface (gate config #2 shape): eval CLI on
-    mpi3d-test with by-sequence / by-activity / overall tables
-    (reference: src/margipose/bin/eval_3d.py:97-163)."""
-    from margipose_tpu.bin.eval_3d import main as eval_main
-    from margipose_tpu.bin.train_3d import ex, run_training
-
-    base = tmp_path / 'datasets'
+@pytest.fixture(scope='module')
+def mpi3d_test_env(tmp_path_factory):
+    """Fake mpi3d-test data + a tiny trained checkpoint for eval-CLI tests."""
+    root = tmp_path_factory.mktemp('mpi3d_test_env')
+    base = root / 'datasets'
     generate_fake_mpi3d(str(base / 'mpi3d' / 'test'), seqs=((1, 1),),
                         camera_ids=(0,), n_frames=2, with_activities=True)
-    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
 
-    out_dir = str(tmp_path / 'out')
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    out_dir = str(root / 'out')
     cfg = ex.parse([
         'with', 'synthetic', 'sgd_simple', f'out_dir={out_dir}', 'epochs=1',
         'batch_size=8', 'train_examples=8', 'val_examples=0', 'lr=0.02',
@@ -104,10 +102,37 @@ def test_eval_cli_on_fake_mpi3d_test(tmp_path, monkeypatch, capsys):
         'train_datasets=["synthetic-8"]', 'val_datasets=[]', 'use_aug=False',
     ])
     run_training(cfg)
-    ckpt = str(tmp_path / 'out' / 't' / 'model-latest')
+    return str(base), str(root / 'out' / 't' / 'model-latest')
+
+
+def test_eval_cli_on_fake_mpi3d_test(mpi3d_test_env, monkeypatch, capsys):
+    """The production eval surface (gate config #2 shape): eval CLI on
+    mpi3d-test with by-sequence / by-activity / overall tables
+    (reference: src/margipose/bin/eval_3d.py:97-163)."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    base, ckpt = mpi3d_test_env
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', base)
 
     eval_main(['eval', '--model', ckpt, '--dataset', 'mpi3d-test'],
               {'device': 'auto'})
     out = capsys.readouterr().out
     assert 'By sequence' in out and 'By activity' in out and 'Overall' in out
     assert 'S1/Seq1' in out
+
+
+def test_eval_cli_multicrop_on_fake_mpi3d_test(mpi3d_test_env, monkeypatch,
+                                               capsys):
+    """Multicrop eval through the CLI on the real dataset class: each example
+    becomes a 10-crop batch (2 flips x 5 offsets) whose predictions are
+    averaged (reference: src/margipose/data/mpi_inf_3dhp/__init__.py:332-360,
+    src/margipose/bin/eval_3d.py:124-136)."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    base, ckpt = mpi3d_test_env
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', base)
+
+    eval_main(['eval', '--model', ckpt, '--dataset', 'mpi3d-test',
+               '--multicrop'], {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'Overall' in out and 'S1/Seq1' in out
