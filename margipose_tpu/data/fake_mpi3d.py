@@ -22,6 +22,7 @@ from os import path
 import numpy as np
 import PIL.Image
 import PIL.ImageDraw
+import PIL.ImageOps
 
 # 28-joint camera-space pose in mm (reference: tests/conftest.py:36-65 —
 # the universal-scale S1/Seq1 frame-0 skeleton; a numeric contract).
@@ -237,3 +238,87 @@ def generate_fake_raw_mpi3d_test(out_dir, n_frames=3, img_size=512, seed=0):
             draw.ellipse([x0, y0, x1, y1], fill=(170, 130, 100))
             img.save(path.join(img_dir, f'img_{t + 1:06d}.jpg'), quality=90)
     return out_dir
+
+
+def generate_fake_raw_mpi3d_train(out_dir, proc_dir, subj_id=2, seq_id=2,
+                                  n_frames=3, seed=0):
+    """Write a miniature RAW MPI-INF-3DHP training sequence plus the
+    pre-extracted frames the preprocessor's resume path expects, so the full
+    train/val preprocessing (annot.mat ingestion, metadata.h5, interesting
+    frames, mask generation) runs without ffmpeg
+    (reference: src/margipose/data/mpi_inf_3dhp/preprocess.py:39-76 skips
+    extraction when the wanted frames already exist in the output dir).
+
+    ``out_dir`` gets the raw ``S{s}/Seq{q}`` with ``annot.mat`` (MATLAB v5 via
+    scipy.io.savemat, 28-joint cell-per-camera layout) and
+    ``camera.calibration``; ``proc_dir`` gets ``imageSequence`` JPEG frames
+    plus raw ``FGmasks`` (inverted fg/ub/lb channels) and ``ChairMasks`` for
+    every VNect camera. Returns ``(raw_seq_dir, proc_seq_dir)``.
+    """
+    import scipy.io
+
+    from margipose_tpu.data.mpi_inf_3dhp import Constants
+
+    rng = np.random.RandomState(seed)
+    raw_seq = path.join(out_dir, f'S{subj_id}', f'Seq{seq_id}')
+    proc_seq = path.join(proc_dir, f'S{subj_id}', f'Seq{seq_id}')
+    os.makedirs(raw_seq, exist_ok=True)
+
+    n_cameras = Constants['n_cameras']
+    poses = []
+    for t in range(n_frames):
+        offset = np.array([(t - n_frames / 2) * 260.0,
+                           rng.uniform(-40, 40), rng.uniform(-60, 60)])
+        poses.append(BASE_POSE_28 + offset)
+
+    def cells(ndims):
+        arr = np.empty((n_cameras, 1), dtype=object)
+        for cid in range(n_cameras):
+            per_cam = np.zeros((n_frames, 28 * ndims))
+            for t in range(n_frames):
+                p = poses[t]
+                if ndims == 2:
+                    p = p[:, :2] / p[:, 2:3] * FOCAL + SENSOR / 2
+                per_cam[t] = p[:, :ndims].reshape(-1)
+            arr[cid, 0] = per_cam
+        return arr
+
+    annot3 = cells(3)
+    univ = np.empty((n_cameras, 1), dtype=object)
+    for cid in range(n_cameras):
+        a3 = annot3[cid, 0].reshape(n_frames, 28, 3)
+        r = a3[:, 14:15, :]
+        univ[cid, 0] = ((a3 - r) / 1.05 + r).reshape(n_frames, -1)
+    scipy.io.savemat(path.join(raw_seq, 'annot.mat'), {
+        'cameras': np.arange(n_cameras).reshape(-1, 1),
+        'frames': np.arange(n_frames).reshape(-1, 1),
+        'annot3': annot3,
+        'univ_annot3': univ,
+        'annot2': cells(2),
+    })
+    with open(path.join(raw_seq, 'camera.calibration'), 'w') as f:
+        f.write(_calibration_text(range(n_cameras)))
+
+    # Pre-extracted 768px frames + raw mask videos' frames in the OUTPUT dir
+    # (the state an interrupted ffmpeg preprocessing run leaves behind).
+    for cid in Constants['vnect_cameras']:
+        img_dir = path.join(proc_seq, 'imageSequence', f'video_{cid}')
+        fg_dir = path.join(proc_seq, 'FGmasks', f'video_{cid}')
+        chair_dir = path.join(proc_seq, 'ChairMasks', f'video_{cid}')
+        for d in (img_dir, fg_dir, chair_dir):
+            os.makedirs(d, exist_ok=True)
+        for t in range(n_frames):
+            _render_frame(rng, poses[t], 768).save(
+                path.join(img_dir, f'img_{t + 1:06d}.jpg'), quality=90)
+            masks = _render_masks(poses[t], 768)
+            # FGmasks store INVERTED (fg, ub, lb) as RGB channels
+            # (reference: preprocess.py:262-322 inverts after loading)
+            inv = PIL.Image.merge('RGB', [
+                PIL.ImageOps.invert(masks['fg']),
+                PIL.ImageOps.invert(masks['ub']),
+                PIL.ImageOps.invert(masks['lb'])])
+            inv.save(path.join(fg_dir, f'img_{t + 1:06d}.jpg'), quality=95)
+            # no chair: stored ChairMasks are all-white (inverts to empty)
+            PIL.Image.new('RGB', (768, 768), (255, 255, 255)).save(
+                path.join(chair_dir, f'img_{t + 1:06d}.png'))
+    return raw_seq, proc_seq

@@ -147,3 +147,52 @@ def test_preprocess_cli_test_set_end_to_end(tmp_path):
     assert example['input'].shape == (96, 96, 3)
     assert example['target'].shape == (17, 4)  # homogeneous
     assert ds.frame_refs[0].activity_id == 1
+
+
+def test_preprocess_train_sequence_and_masks_end_to_end(tmp_path):
+    """The train/val preprocessing path end-to-end WITHOUT ffmpeg, via the
+    resume path (frames already extracted): annot.mat ingestion, metadata.h5
+    with interesting frames + universal scale, then full mask generation
+    (invert, person isolation, chair merge, min/max filtering), and finally
+    the REAL MpiInf3dDataset consuming the output with compositing
+    augmentation enabled (reference: preprocess.py:39-76,128-187,246-336)."""
+    import h5py
+
+    from margipose_tpu.data.fake_mpi3d import generate_fake_raw_mpi3d_train
+    from margipose_tpu.data.mpi3d_preprocess import (
+        preprocess_masks,
+        process_sequence,
+    )
+    from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dDataset
+    from margipose_tpu.data.specs import DataSpecs, ImageSpecs, JointsSpecs
+    from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+    raw_dir = str(tmp_path / 'raw')
+    proc_dir = str(tmp_path / 'processed')
+    raw_seq, proc_seq = generate_fake_raw_mpi3d_train(
+        raw_dir, proc_dir, subj_id=2, seq_id=2, n_frames=3)
+
+    process_sequence(raw_seq, proc_seq, n_frames=3, blacklist=[])
+
+    with h5py.File(path.join(proc_seq, 'metadata.h5'), 'r') as f:
+        assert f['joints3d'].shape == (14, 3, 28, 3)
+        assert abs(float(f['scale'][0]) - 1.05) < 1e-9
+        # every frame moves >=260mm, so all are interesting, on every camera
+        for cid in (0, 1, 2, 4, 5, 6, 7, 8):
+            assert list(f[f'interesting_frames/camera{cid}']) == [0, 1, 2]
+    assert path.isfile(path.join(proc_seq, 'camera.calibration'))
+    assert path.isfile(path.join(proc_seq, 'annot.mat'))
+
+    preprocess_masks(proc_dir, 2, 2)
+    for kind in ('foreground_mask', 'up_body_mask', 'low_body_mask'):
+        mask_file = path.join(proc_seq, kind, 'video_0', 'img_000001.png')
+        assert path.isfile(mask_file), mask_file
+        mask = np.asarray(PIL.Image.open(mask_file))
+        assert mask.max() > 200 and mask.min() < 50  # person + background
+
+    specs = DataSpecs(ImageSpecs(96), JointsSpecs(CanonicalSkeletonDesc, n_dims=3))
+    ds = MpiInf3dDataset(proc_dir, data_specs=specs, use_aug=True, seed=3)
+    assert len(ds) == 8 * 3  # 8 VNect cameras x 3 interesting frames
+    example = ds[0]
+    assert example['input'].shape == (96, 96, 3)
+    assert np.isfinite(example['input']).all()
