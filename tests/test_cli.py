@@ -230,3 +230,62 @@ def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
     m4 = overall_mpjpe(['eval', '--model', trained_ckpt,
                         '--dataset', 'synthetic-6', '--batch-size', '4'])
     assert abs(m1 - m4) < 1e-3, (m1, m4)
+
+
+def test_train_cli_pretrained_stem(tmp_path, capsys):
+    """`pretrained_stem=<path>` starts fresh training from an ImageNet
+    backbone state_dict, like the reference's implicit pretrained download
+    (reference: src/margipose/models/margipose_model.py:104-138)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from margipose_tpu.bin.train_3d import ex, run_training
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import _flatten, _stem_torch_key
+
+    # synthesise a torchvision-resnet18-format state_dict from the flax
+    # template shapes (same construction as tests/test_full_model_parity.py)
+    model = MargiPoseModel(n_joints=17, n_stages=1,
+                           feature_extractor='resnet18')
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    rng = np.random.RandomState(7)
+    sd = {}
+    for collection, tree in variables.items():
+        for p, value in _flatten(tree):
+            if 'in_cnn' not in p:
+                continue
+            key = _stem_torch_key(p[p.index('in_cnn') + 1:], 'resnet18')
+            shape = np.asarray(value).shape
+            if p[-1] == 'weight' and len(shape) == 4:
+                kh, kw, cin, cout = shape
+                arr = rng.randn(cout, cin, kh, kw)
+            else:
+                arr = rng.randn(*shape)
+            sd[key] = torch.from_numpy(arr.astype(np.float32))
+    stem_pth = str(tmp_path / 'resnet18-imagenet.pth')
+    torch.save(sd, stem_pth)
+
+    out_dir = str(tmp_path / 'out')
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple', f'out_dir={out_dir}', 'epochs=1',
+        'batch_size=8', 'train_examples=8', 'val_examples=0', 'lr=0.0',
+        'num_workers=0', 'metrics_every=1', 'experiment_id=t',
+        f'pretrained_stem={stem_pth}',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-8"]', 'val_datasets=[]', 'use_aug=False',
+    ])
+    run_training(cfg)
+    assert 'initialised resnet18 stem from' in capsys.readouterr().out
+
+    # lr=0: the saved checkpoint's stem conv still carries the ImageNet
+    # weights (OIHW -> HWIO)
+    from margipose_tpu.train.checkpoint import load_model
+
+    _, trained_vars, _ = load_model(path.join(out_dir, 't', 'model-latest'))
+    got = np.asarray(trained_vars['params']['inner']['in_cnn']['0']['weight'])
+    want = sd['conv1.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
