@@ -79,7 +79,11 @@ def obtain_predictions(forward, loader, known_depth=False,
         in_var = jnp.asarray(_pad(batch['input']))
         target = jnp.asarray(_pad(batch['target'][..., :3]))
         valid_depth = jnp.asarray(_pad(np.asarray(batch['valid_depth'], np.int32)))
-        mask = jnp.asarray(_pad(batch['joint_mask']))
+        mask_np = _pad(batch['joint_mask'])
+        if pad:
+            # padding rows must not contribute to the masked mean loss
+            mask_np[n_real:] = 0
+        mask = jnp.asarray(mask_np)
 
         inference_time = None
         if timed_batches < 3:
@@ -127,8 +131,13 @@ def obtain_predictions(forward, loader, known_depth=False,
                 actuals.append(actual_i)
             actual = np.stack(actuals, 0).mean(0)
             yield dict(expected=expected, actual=actual, frame_ref=_frame_ref(0),
-                       inference_time=inference_time, loss=loss)
+                       inference_time=inference_time, loss=loss, loss_n=1)
         else:
+            if inference_time is not None:
+                # per-example time so the reported median is comparable
+                # across --batch-size settings (the reference's batch-1
+                # surface is per-example by construction)
+                inference_time /= len(in_var)
             for i, norm_pred in enumerate(norm_preds):
                 expected, actual = prepare_for_3d_evaluation(
                     batch['original_skel'][i], norm_pred, loader.dataset,
@@ -137,7 +146,7 @@ def obtain_predictions(forward, loader, known_depth=False,
                 yield dict(expected=expected, actual=actual,
                            frame_ref=_frame_ref(i),
                            inference_time=inference_time if i == 0 else None,
-                           loss=loss if i == 0 else None)
+                           loss=loss if i == 0 else None, loss_n=n_real)
 
 
 def run_evaluation_3d(forward, loader, included_joints,
@@ -155,7 +164,7 @@ def run_evaluation_3d(forward, loader, included_joints,
         if pred['inference_time'] is not None:
             time_meter.add(pred['inference_time'])
         if pred['loss'] is not None:
-            loss_meter.add(pred['loss'])
+            loss_meter.add(pred['loss'], pred.get('loss_n', 1))
         metrics = gather_3d_metrics(pred['expected'], pred['actual'], included_joints)
         if pred['frame_ref']:
             d['seq_id'].append(

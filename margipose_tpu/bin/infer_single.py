@@ -54,9 +54,12 @@ def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
     image = image.convert('RGB')
     # The device warp is single-tap bilinear; for large photos (scale < 0.5)
     # that aliases badly vs the reference's antialiased thumbnail, so
-    # area-average on the host first. This floor(ratio) factor leaves the
-    # remaining bilinear scale in (0.5, 1.0] — alias-free.
-    reduce_factor = min(image.width // w, image.height // h)
+    # area-average on the host first. The factor comes from the BINDING
+    # aspect-fit ratio (the one the final scale uses), so the remaining
+    # bilinear scale lands in (0.5, 1.0] — alias-free — for non-square
+    # images too (e.g. 2048x768 -> reduce(8) -> residual scale 1.0).
+    fit_scale = min(w / image.width, h / image.height, 1.0)
+    reduce_factor = int(1.0 / fit_scale)
     if reduce_factor > 1:
         image = image.reduce(reduce_factor)
     src = np.asarray(image, np.float32) / 255.0

@@ -88,11 +88,6 @@ def _overlay_image(dataset, example, pred):
     return img
 
 
-# Per-plane axis labels as in the reference heatmap tab
-# (reference: src/margipose/bin/run_gui.py:330-334).
-_PLANE_AXES = {'xy': ('x', 'y'), 'xz': ('x', 'z'), 'zy': ('z', 'y')}
-
-
 def _heatmap_panel(hm, size=96, overlay=None):
     """One heatmap as a PIL image with DSNT-mean crosshairs
     (reference: src/margipose/bin/run_gui.py:336-351)."""

@@ -74,8 +74,14 @@ def _set_dotted(config: dict, key: str, value):
     node = config
     for p in parts[:-1]:
         existing = node.get(p)
-        if not isinstance(existing, dict):
+        if existing is None:
             existing = node[p] = {}
+        elif not isinstance(existing, dict):
+            # fail loudly: `with epochs.max=5` must not silently discard the
+            # existing scalar `epochs` value
+            raise TypeError(
+                f"cannot set '{key}': '{p}' holds a non-dict value "
+                f"({existing!r})")
         node = existing
     last = parts[-1]
     if isinstance(value, dict) and isinstance(node.get(last), dict):

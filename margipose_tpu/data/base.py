@@ -25,6 +25,13 @@ from margipose_tpu.geometry.skeleton import (
 from margipose_tpu.geometry.transforms import TransformerContext
 
 
+def as_rgb_array(img) -> np.ndarray:
+    """HWC uint8 view/copy of a PIL RGB image or passthrough for arrays."""
+    if isinstance(img, np.ndarray):
+        return img
+    return np.asarray(img.convert('RGB') if img.mode != 'RGB' else img)
+
+
 class PoseDataset(ABC):
     # On-device augmentation (BASELINE north star): when ``device_aug`` is
     # set on a dataset with a fixed raw source size (``raw_size``), samples
@@ -40,11 +47,7 @@ class PoseDataset(ABC):
 
     def device_aug_fields(self, ctx: "TransformerContext", orig_image) -> dict:
         """Sample fields for the on-device augmentation path."""
-        if isinstance(orig_image, np.ndarray):
-            arr = orig_image
-        else:
-            img = orig_image.convert('RGB') if orig_image.mode != 'RGB' else orig_image
-            arr = np.asarray(img)
+        arr = as_rgb_array(orig_image)
         assert self.raw_size is not None and arr.shape[:2] == tuple(self.raw_size), (
             f'device_aug needs fixed {self.raw_size} raw frames, got {arr.shape}')
         affine = np.eye(3, dtype=np.float32)

@@ -19,7 +19,7 @@ import numpy as np
 import PIL.Image
 from PIL import ImageOps
 
-from margipose_tpu.data.base import PoseDataset, collate
+from margipose_tpu.data.base import PoseDataset, as_rgb_array, collate
 from margipose_tpu.data.specs import DataSpecs, ImageSpecs, JointsSpecs
 from margipose_tpu.eval import gather_3d_metrics, prepare_for_3d_evaluation
 from margipose_tpu.geometry.camera import CameraIntrinsics
@@ -221,13 +221,6 @@ def random_texture(rng: np.random.RandomState):
     )
 
 
-def _as_rgb_array(img) -> np.ndarray:
-    """HWC uint8 view/copy of a PIL RGB image or passthrough for arrays."""
-    if isinstance(img, np.ndarray):
-        return img
-    return np.asarray(img.convert('RGB') if img.mode != 'RGB' else img)
-
-
 def _as_mask_array(mask) -> np.ndarray:
     if isinstance(mask, np.ndarray):
         return mask
@@ -241,7 +234,7 @@ def _composite(fg, bg, mask) -> np.ndarray:
     trip per stage)."""
     from margipose_tpu import native
 
-    fg, bg, mask = _as_rgb_array(fg), _as_rgb_array(bg), _as_mask_array(mask)
+    fg, bg, mask = as_rgb_array(fg), as_rgb_array(bg), _as_mask_array(mask)
     if native.available():
         return native.composite(fg, bg, mask)
     out = PIL.Image.composite(
@@ -265,10 +258,11 @@ def augment_clothing(img, mask, texture) -> np.ndarray:
 
     Hot loader path: outside the mask the composite returns ``img``
     unchanged, so the blend is computed only inside the mask's bounding box
-    (bit-identical result, ~10x less arithmetic for typical person masks)
+    (same result up to float32 rounding of the blend, ~10x less arithmetic
+    for typical person masks)
     and in float32. The reference assumes texture assets match the frame
     size; smaller textures (e.g. the procedural stand-ins) are tiled."""
-    img = _as_rgb_array(img)
+    img = as_rgb_array(img)
     mask = _as_mask_array(mask)
     bbox = _mask_bbox(mask)
     if bbox is None:  # empty mask: nothing to composite

@@ -118,8 +118,12 @@ def host_local_values(arr) -> np.ndarray:
     host-side metric/visualisation paths — a multi-process ``np.asarray``)."""
     if getattr(arr, "is_fully_addressable", True):
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    # Keep one shard per batch-row block: arrays replicated over a 'model'
+    # axis expose each row block once per replica in addressable_shards.
+    by_start = {}
+    for s in arr.addressable_shards:
+        by_start.setdefault(s.index[0].start or 0, s)
+    shards = [by_start[k] for k in sorted(by_start)]
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

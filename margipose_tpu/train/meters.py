@@ -38,9 +38,9 @@ class MeanValueMeter:
         self._sum = 0.0
         self._n = 0
 
-    def add(self, v):
-        self._sum += float(v)
-        self._n += 1
+    def add(self, v, n=1):
+        self._sum += float(v) * n
+        self._n += n
 
     def value(self):
         return self._sum / self._n if self._n else None

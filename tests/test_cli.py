@@ -139,6 +139,10 @@ def test_config_dict_override_deep_merges():
     # non-dict overrides still replace wholesale
     cfg3 = ex.parse(['with', 'margipose_model', 'epochs=7'])
     assert cfg3['epochs'] == 7
+    # a dotted path through a scalar fails loudly instead of silently
+    # replacing the scalar with a dict
+    with pytest.raises(TypeError, match='epochs'):
+        ex.parse(['with', 'margipose_model', 'epochs.max=5'])
 
 
 def test_export_cli(trained_ckpt, tmp_path):
@@ -242,28 +246,13 @@ def test_train_cli_pretrained_stem(tmp_path, capsys):
 
     from margipose_tpu.bin.train_3d import ex, run_training
     from margipose_tpu.models.margipose import MargiPoseModel
-    from margipose_tpu.train.torch_import import _flatten, _stem_torch_key
+    from torch_twin import synth_resnet18_state_dict
 
-    # synthesise a torchvision-resnet18-format state_dict from the flax
-    # template shapes (same construction as tests/test_full_model_parity.py)
     model = MargiPoseModel(n_joints=17, n_stages=1,
                            feature_extractor='resnet18')
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
-    rng = np.random.RandomState(7)
-    sd = {}
-    for collection, tree in variables.items():
-        for p, value in _flatten(tree):
-            if 'in_cnn' not in p:
-                continue
-            key = _stem_torch_key(p[p.index('in_cnn') + 1:], 'resnet18')
-            shape = np.asarray(value).shape
-            if p[-1] == 'weight' and len(shape) == 4:
-                kh, kw, cin, cout = shape
-                arr = rng.randn(cout, cin, kh, kw)
-            else:
-                arr = rng.randn(*shape)
-            sd[key] = torch.from_numpy(arr.astype(np.float32))
+    sd = synth_resnet18_state_dict(variables, seed=7)
     stem_pth = str(tmp_path / 'resnet18-imagenet.pth')
     torch.save(sd, stem_pth)
 

@@ -187,27 +187,9 @@ def test_pretrained_resnet_stem_import():
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     # synthesise a torchvision-format state_dict from the flax template
-    from margipose_tpu.train.torch_import import (
-        _flatten,
-        _stem_torch_key,
-    )
+    from torch_twin import synth_resnet18_state_dict
 
-    rng = np.random.RandomState(0)
-    sd = {}
-    for collection, tree in variables.items():
-        for path, value in _flatten(tree):
-            if 'in_cnn' not in path:
-                continue
-            rel = path[path.index('in_cnn') + 1:]
-            key = _stem_torch_key(rel, 'resnet18')
-            assert key is not None, f'unmapped stem leaf {path}'
-            shape = np.asarray(value).shape
-            if path[-1] == 'weight' and len(shape) == 4:
-                kh, kw, cin, cout = shape
-                arr = rng.randn(cout, cin, kh, kw)
-            else:
-                arr = rng.randn(*shape)
-            sd[key] = torch.from_numpy(arr.astype(np.float32))
+    sd = synth_resnet18_state_dict(variables, seed=0)
     assert 'conv1.weight' in sd and 'layer2.1.bn2.running_var' in sd
     # surplus torchvision keys must be ignored
     sd['layer3.0.conv1.weight'] = torch.zeros(256, 128, 3, 3)

@@ -293,3 +293,29 @@ def randomize_bn(module, seed=7):
                     (1.0 + 0.2 * rng.randn(m.num_features)).astype(np.float32)))
                 m.bias.copy_(torch.from_numpy(
                     (0.1 * rng.randn(m.num_features)).astype(np.float32)))
+
+
+def synth_resnet18_state_dict(variables, seed=0):
+    """Random torchvision-resnet18-format state_dict matching the stem leaves
+    of flax ``variables`` (conv weights in OIHW as torch stores them)."""
+    import numpy as np
+    import torch as _torch
+
+    from margipose_tpu.train.torch_import import _flatten, _stem_torch_key
+
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for collection, tree in variables.items():
+        for path, value in _flatten(tree):
+            if 'in_cnn' not in path:
+                continue
+            key = _stem_torch_key(path[path.index('in_cnn') + 1:], 'resnet18')
+            assert key is not None, f'unmapped stem leaf {path}'
+            shape = np.asarray(value).shape
+            if path[-1] == 'weight' and len(shape) == 4:
+                kh, kw, cin, cout = shape
+                arr = rng.randn(cout, cin, kh, kw)
+            else:
+                arr = rng.randn(*shape)
+            sd[key] = _torch.from_numpy(arr.astype(np.float32))
+    return sd
