@@ -6,7 +6,11 @@ Formats:
   * ``native``: an Orbax weights-only checkpoint (optimiser state stripped) —
     the analogue of the reference's re-saved .pth;
   * ``stablehlo``: serialized StableHLO of the jitted forward pass via
-    jax.export — the analogue of the reference's ONNX export.
+    jax.export — the analogue of the reference's ONNX export;
+  * ``torch``: a reference-format ``.pth`` (torch pickle with
+    ``{state_dict, model_desc, train_datasets, epoch}``) loadable by the
+    original PyTorch implementation with ``strict=True`` — the inverse of
+    the importer.
 
 Inputs may be margipose_tpu checkpoints or reference .pth files.
 """
@@ -26,7 +30,7 @@ def parse_args(argv):
     parser.add_argument('-o', '--output', type=str, metavar='PATH', required=True,
                         help='desired output path')
     parser.add_argument('-f', '--format', type=str, default='native',
-                        choices=['native', 'stablehlo'],
+                        choices=['native', 'stablehlo', 'torch'],
                         help='format of output model')
     return parser.parse_args(argv[1:])
 
@@ -66,6 +70,16 @@ def main(argv=None):
         print(f'wrote weights-only checkpoint to {args.output}')
     elif args.format == 'stablehlo':
         export_stablehlo(model, variables, model_desc, args.output)
+    elif args.format == 'torch':
+        import torch
+
+        from margipose_tpu.train.torch_import import export_state_dict
+
+        sd = {k: torch.from_numpy(v.copy()) if v.ndim else torch.tensor(v)
+              for k, v in export_state_dict(variables).items()}
+        torch.save({'state_dict': sd, 'model_desc': model_desc,
+                    'train_datasets': [], 'epoch': 0}, args.output)
+        print(f'wrote reference-format torch checkpoint to {args.output}')
 
 
 if __name__ == '__main__':

@@ -184,6 +184,38 @@ def convert_state_dict(flax_variables, torch_state_dict) -> dict:
     return out
 
 
+def export_state_dict(flax_variables) -> dict:
+    """Inverse of ``convert_state_dict``: flax ``{params, batch_stats}`` ->
+    reference-format torch state_dict values (numpy; conv weights back to
+    OIHW, transposed-conv weights back to torch's IOHW, BN running stats,
+    zeroed ``num_batches_tracked`` bookkeeping keys). Keys match
+    ``MargiPoseModel.state_dict()`` in the reference
+    (reference: src/margipose/bin/train_3d.py:374-382), so the result loads
+    into the reference implementation with ``strict=True``."""
+    out = {}
+    for collection, tree in flax_variables.items():
+        for path, value in _flatten(tree):
+            keys = flax_path_to_torch_keys(path)
+            arr = np.asarray(value)
+            parts = list(arr) if len(keys) > 1 else [arr]
+            for key, w in zip(keys, parts):
+                if w.ndim == 4 and path[-1] == "weight":
+                    if _is_transpose_conv(key):
+                        # flipped HWIO -> torch IOHW
+                        w = np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(2, 3))
+                    else:
+                        # HWIO -> torch OIHW
+                        w = np.transpose(w, (3, 2, 0, 1))
+                # fresh C-order copy: ascontiguousarray keeps negative
+                # strides on size-1 dims (e.g. flipped 1x1 transposed-conv
+                # kernels), which torch.from_numpy rejects
+                out[key] = np.array(w)
+    for key in [k for k in out if k.endswith("running_mean")]:
+        out[key.replace("running_mean", "num_batches_tracked")] = np.asarray(
+            0, np.int64)
+    return out
+
+
 # --- ImageNet-pretrained stem import -------------------------------------
 #
 # The reference initialises the margipose in_cnn from ImageNet weights

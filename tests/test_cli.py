@@ -169,6 +169,20 @@ def test_export_cli(trained_ckpt, tmp_path):
     assert out.shape == (1, 17, 3)
     assert np.isfinite(np.asarray(out)).all()
 
+    # reference-format torch .pth export round-trips through the importer
+    pth_out = str(tmp_path / 'model.pth')
+    export_main(['export', '-i', trained_ckpt, '-o', pth_out, '-f', 'torch'])
+    import torch
+
+    ckpt = torch.load(pth_out, map_location='cpu', weights_only=False)
+    assert ckpt['model_desc']['type'] == 'margipose'
+    assert 'inner.in_cnn.0.weight' in ckpt['state_dict']
+    model2, vars2, desc2 = load_model(pth_out)
+    native_vars = load_model(trained_ckpt)[1]
+    a = np.asarray(vars2['params']['inner']['in_cnn']['0']['weight'])
+    b = np.asarray(native_vars['params']['inner']['in_cnn']['0']['weight'])
+    np.testing.assert_allclose(a, b, atol=0)
+
 
 def test_hyperparams_cli(tmp_path, capsys):
     """LR range search end-to-end on synthetic data: geometric lr sweep,

@@ -227,3 +227,38 @@ def test_load_pretrained_stem_from_file(tmp_path):
     assert_allclose(
         np.asarray(grafted['params']['inner']['in_cnn']['1']['conv']['weight']),
         sd['features.1.conv.weight'].numpy().transpose(2, 3, 1, 0))
+
+
+def test_export_state_dict_roundtrips_into_torch_twin(twin_and_flax):
+    """export_state_dict is the true inverse of the importer: the exported
+    state_dict strict-loads into the reference-architecture torch twin and
+    reproduces the flax weights bit-for-bit when re-imported."""
+    from margipose_tpu.train.torch_import import export_state_dict
+
+    twin, model, variables = twin_and_flax
+    sd_np = export_state_dict(variables)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+
+    # strict load into a FRESH twin (all keys present, all shapes right)
+    torch.manual_seed(0)
+    twin2 = TMargiPose(n_joints=17, n_stages=2).eval()
+    twin2.load_state_dict(sd, strict=True)
+
+    # the reloaded twin equals the original twin the weights came from
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        exp_xyz, _ = twin(x)
+        got_xyz, _ = twin2(x)
+    assert_allclose(got_xyz.numpy(), exp_xyz.numpy(), atol=1e-6)
+
+    # and re-importing the exported dict reproduces the flax tree exactly
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    reimported = convert_state_dict(template, sd)
+    flat_a = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(variables)[0]}
+    flat_b = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(reimported)[0]}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        assert_allclose(np.asarray(flat_a[k]), np.asarray(flat_b[k]), atol=0)
