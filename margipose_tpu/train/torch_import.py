@@ -94,7 +94,7 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
         # chatterbox resample shortcut: resample_0 -> resample.0
         m = re.fullmatch(r"resample_(\d+)", c)
         if m:
-            out.extend(["resample", m.group(2)])
+            out.extend(["resample", m.group(1)])
             continue
         out.append(c)
     return ".".join(out)

@@ -185,3 +185,43 @@ def test_convert_rejects_missing_and_extra_keys():
     extra['bogus.weight'] = torch.zeros(1)
     with pytest.raises(ValueError):
         convert_state_dict(template, extra)
+
+
+def test_chatterbox_state_dict_roundtrip():
+    """export_state_dict / convert_state_dict are mutual inverses on the
+    Chatterbox tree too — exercises the chatterbox-specific key mappings
+    (down_N/up_N sequential indices, resample shortcuts) and the
+    transposed-conv IOHW flip patterns in both directions
+    (reference: src/margipose/models/chatterbox_model.py:86-220)."""
+    import jax
+    import jax.numpy as jnp
+
+    from margipose_tpu.models import Default_Chatterbox_Desc, create_model
+    from margipose_tpu.train.torch_import import (
+        convert_state_dict,
+        export_state_dict,
+    )
+
+    model = create_model(Default_Chatterbox_Desc)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3), jnp.float32))
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    sd = export_state_dict(variables)
+    # transposed-conv keys really take the torch IOHW layout (I, O, kh, kw)
+    up0 = sd['zy_hm_cnn.up_convs.0.weight']
+    flax_up0 = variables['params']['zy_hm_cnn']['up_0']['weight']
+    assert up0.shape == (flax_up0.shape[2], flax_up0.shape[3],
+                         flax_up0.shape[0], flax_up0.shape[1])
+
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    reimported = convert_state_dict(dict(template), sd)
+    flat_a = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(variables)[0]}
+    flat_b = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(reimported)[0]}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
