@@ -262,3 +262,50 @@ class MpiiDataset(PoseDataset):
 
     def to_canonical_skeleton_public(self, skel):
         return self.to_canonical_skeleton(skel)
+
+
+# Source archives for install_mpii_dataset (the torchdata.mpii capability
+# surface; reference usage: README.md:53-54). The annotation h5s follow the
+# stacked-hourglass convention that MpiiData reads.
+MPII_IMAGES_URL = ('https://datasets.d2.mpi-inf.mpg.de/andriluka14cvpr/'
+                   'mpii_human_pose_v1.tar.gz')
+MPII_ANNOT_URLS = {
+    'train.h5': 'https://github.com/princeton-vl/pose-hg-train/raw/master/data/mpii/annot/train.h5',
+    'valid.h5': 'https://github.com/princeton-vl/pose-hg-train/raw/master/data/mpii/annot/valid.h5',
+    'test.h5': 'https://github.com/princeton-vl/pose-hg-train/raw/master/data/mpii/annot/test.h5',
+}
+
+
+def install_mpii_dataset(data_dir, skip_images=False):
+    """Download and lay out the MPII dataset under ``data_dir``
+    (``annot/{train,valid,test}.h5`` + ``images/``), the equivalent of
+    torchdata's ``mpii.install_mpii_dataset`` (reference: README.md:53-54).
+
+    Idempotent: files already present are kept. Returns the list of files
+    it actually downloaded (empty when everything was in place)."""
+    import os
+    import tarfile
+    import urllib.request
+
+    downloaded = []
+    annot_dir = path.join(data_dir, 'annot')
+    os.makedirs(annot_dir, exist_ok=True)
+    for name, url in MPII_ANNOT_URLS.items():
+        dest = path.join(annot_dir, name)
+        if path.isfile(dest):
+            continue
+        tmp = dest + '.part'
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, dest)
+        downloaded.append(dest)
+
+    images_dir = path.join(data_dir, 'images')
+    if not skip_images and not path.isdir(images_dir):
+        tar_path = path.join(data_dir, 'mpii_human_pose_v1.tar.gz')
+        if not path.isfile(tar_path):
+            urllib.request.urlretrieve(MPII_IMAGES_URL, tar_path + '.part')
+            os.replace(tar_path + '.part', tar_path)
+            downloaded.append(tar_path)
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(data_dir, filter='data')
+    return downloaded

@@ -185,3 +185,17 @@ def test_train_cli_mixed_mpi3d_mpii_with_aug(tmp_path, monkeypatch):
     result = run_training(cfg)
     assert result['train_pck'] is not None
     assert path.isdir(path.join(out_dir, 't', 'model-latest'))
+
+
+def test_install_mpii_dataset_is_idempotent(tmp_path):
+    """install_mpii_dataset must not re-download anything when the layout is
+    already in place (the offline-testable half of the torchdata
+    ``install_mpii_dataset`` surface; reference: README.md:53-54)."""
+    from margipose_tpu.data.mpii import install_mpii_dataset
+
+    d = generate_fake_mpii(str(tmp_path / 'mpii'), n_train=2, n_val=1)
+    # the fake layout carries train/valid only; stand in for test.h5 so the
+    # fully-installed state is represented
+    open(path.join(d, 'annot', 'test.h5'), 'wb').close()
+    downloaded = install_mpii_dataset(d, skip_images=True)
+    assert downloaded == []
