@@ -292,3 +292,28 @@ def test_train_cli_pretrained_stem(tmp_path, capsys):
     got = np.asarray(trained_vars['params']['inner']['in_cnn']['0']['weight'])
     want = sd['conv1.weight'].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bench_loader_smoke(capsys):
+    """Host-loader benchmark tool runs end-to-end on its own fake dataset."""
+    from margipose_tpu.bin.bench_loader import main as bench_loader_main
+
+    bench_loader_main(['--seconds', '1', '--batch-size', '4',
+                       '--workers', '0'])
+    out = capsys.readouterr().out
+    assert 'images/sec' in out
+
+
+def test_generate_resources(tmp_path):
+    """Procedural augmentation-asset generator writes the reference layout
+    (16 background JPGs, 8 texture PNGs, demo image;
+    reference: resources/ consumed at src/margipose/data/mpi_inf_3dhp/__init__.py:90,114)."""
+    import glob
+
+    from margipose_tpu.bin.generate_resources import main as gen_main
+
+    out = str(tmp_path / 'res')
+    gen_main(['--out-dir', out])
+    assert len(glob.glob(path.join(out, 'backgrounds', '*.jpg'))) == 16
+    assert len(glob.glob(path.join(out, 'textures', '*.png'))) == 8
+    assert path.isfile(path.join(out, 'man_running.jpg'))
