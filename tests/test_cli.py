@@ -33,6 +33,11 @@ def trained_ckpt(tmp_path_factory):
     assert path.isdir(ckpt_dir)
     assert path.isfile(path.join(out_dir, 'test', 'config.json'))
     assert path.isfile(path.join(out_dir, 'test', 'metrics.jsonl'))
+    # TensorBoard scalar events (the Showoff-dashboard replacement,
+    # SURVEY.md §5.5)
+    import glob
+
+    assert glob.glob(path.join(out_dir, 'test', 'tb', 'events.out.tfevents*'))
     return ckpt_dir
 
 
