@@ -20,29 +20,35 @@ def euclidean_distances(actual: np.ndarray, expected: np.ndarray) -> np.ndarray:
     return np.sqrt(np.sum((np.asarray(actual) - np.asarray(expected)) ** 2, axis=-1))
 
 
-def mpjpe(actual, expected, included_joints=None) -> float:
-    """Mean per-joint position error (reference: src/margipose/eval.py:9-13)."""
+def _included_distances(actual, expected, included_joints):
     dists = euclidean_distances(actual, expected)
     if included_joints is not None:
         dists = dists[..., included_joints]
-    return float(dists.mean())
+    return dists
+
+
+def mpjpe(actual, expected, included_joints=None) -> float:
+    """Mean per-joint position error (reference: src/margipose/eval.py:9-13)."""
+    return float(_included_distances(actual, expected, included_joints).mean())
 
 
 def pck(actual, expected, included_joints=None, threshold=150) -> float:
     """Percentage of correct keypoints @150mm (reference: src/margipose/eval.py:16-20)."""
-    dists = euclidean_distances(actual, expected)
-    if included_joints is not None:
-        dists = dists[..., included_joints]
+    dists = _included_distances(actual, expected, included_joints)
     return float((dists < threshold).mean())
 
 
 def auc(actual, expected, included_joints=None) -> float:
     """Mean PCK over 31 thresholds 0-150mm, mimicking mpii_compute_3d_pck.m
     (reference: src/margipose/eval.py:23-31)."""
+    dists = _included_distances(actual, expected, included_joints)
+    return _auc_from_distances(dists)
+
+
+def _auc_from_distances(dists) -> float:
     thresholds = np.linspace(0, 150, 31)
-    return float(np.mean([
-        pck(actual, expected, included_joints, threshold=t) for t in thresholds
-    ]))
+    return float(
+        (dists.reshape(-1)[None, :] < thresholds[:, None]).mean())
 
 
 def prepare_for_3d_evaluation(original_skel, norm_pred, dataset, camera_intrinsics,
@@ -75,13 +81,17 @@ def gather_3d_metrics(expected, actual, included_joints=None) -> dict:
     """All six metrics incl. Procrustes-aligned variants
     (reference: src/margipose/eval.py:70-85)."""
     aligned = apply_rigid_alignment(actual, expected)
+    # each variant's distances computed ONCE and shared by mpjpe/pck/auc —
+    # this runs per example (and per crop) in the host-side eval loop
+    dists = _included_distances(actual, expected, included_joints)
+    adists = _included_distances(aligned, expected, included_joints)
     return dict(
-        mpjpe=mpjpe(actual, expected, included_joints),
-        pck=pck(actual, expected, included_joints),
-        auc=auc(actual, expected, included_joints),
-        aligned_mpjpe=mpjpe(aligned, expected, included_joints),
-        aligned_pck=pck(aligned, expected, included_joints),
-        aligned_auc=auc(aligned, expected, included_joints),
+        mpjpe=float(dists.mean()),
+        pck=float((dists < 150).mean()),
+        auc=_auc_from_distances(dists),
+        aligned_mpjpe=float(adists.mean()),
+        aligned_pck=float((adists < 150).mean()),
+        aligned_auc=_auc_from_distances(adists),
     )
 
 

@@ -79,6 +79,13 @@ class SkeletonNormaliser:
             skel = self.denormalise_skeleton(normalised_skel, z, intrinsics, height, width)
             scale = float(eval_scale(skel))
             if scale <= 0 or not np.isfinite(scale):
+                # degenerate prediction (eg. collapsed bones) — surface it
+                # rather than silently evaluating at the current depth
+                import warnings
+
+                warnings.warn(
+                    f'infer_depth: eval_scale returned {scale!r}; '
+                    f'falling back to z_ref={z:.1f}mm', RuntimeWarning)
                 break
             new_z = z * scale
             if abs(new_z - z) < 1e-9 * max(1.0, abs(z)):

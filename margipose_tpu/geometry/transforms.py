@@ -146,7 +146,6 @@ class TransformerContext:
             c = self.opts.get("contrast", 1.0)
             s = self.opts.get("saturation", 1.0)
             h = self.opts.get("hue", 0.0)
-            new_image = None
             # ``image`` may be a PIL RGB image or an HWC uint8 array (the
             # compositing pipeline stays in numpy; see data/mpi_inf_3dhp.py).
             is_array = isinstance(image, np.ndarray)

@@ -35,15 +35,13 @@ def _spatial_axes(heatmaps: jax.Array) -> tuple[int, ...]:
     return tuple(range(2, heatmaps.ndim))
 
 
-def _coord_expectation(heatmaps: jax.Array, axis: int, transform=None) -> jax.Array:
-    """E[transform(X)] along one spatial axis of normalized heatmaps.
+def _coord_expectation(heatmaps: jax.Array, axis: int) -> jax.Array:
+    """E[X] along one spatial axis of normalized heatmaps.
 
     ``axis`` is an absolute axis index (>= 2). Returns shape
     ``heatmaps.shape[:2]``.
     """
     coords = normalized_linspace(heatmaps.shape[axis], heatmaps.dtype)
-    if transform is not None:
-        coords = transform(coords)
     # Single fused multiply-reduce over all spatial axes (instead of
     # marginalise-then-dot): one XLA reduction, and it avoids an axon AOT
     # layout-assignment bug on the two-step reduce at batch 1.
