@@ -65,7 +65,7 @@ ex.add_named_config('mpi3d', train_datasets=['mpi3d-trainval', 'mpii-trainval'],
 ex.add_named_config('h36m', train_datasets=['h36m-trainval', 'mpii-trainval'],
                     val_datasets=[])
 ex.add_named_config('synthetic', train_datasets=['synthetic-512'],
-                    val_datasets=['synthetic-64'])
+                    val_datasets=['synthetic-64@1'])
 
 # Debug preset (reference: src/margipose/bin/train_3d.py:246-247)
 ex.add_named_config('quick', out_dir='', epochs=10, tags=['quick'], quick=True,

@@ -152,6 +152,13 @@ class PoseDataset(ABC):
 
     def evaluate_3d_batch(self, batch, norm_preds):
         """(reference: src/margipose/data/__init__.py:135-146)"""
+        # one host-side copy of valid_depth up front: it may be a (sharded)
+        # device array after loader prefetch, and element-indexing it would
+        # be a blocking readback per row — or an error on multi-process
+        # meshes where the global array is not fully addressable
+        from margipose_tpu.parallel.mesh import host_local_values
+
+        valid_depth = np.asarray(host_local_values(batch['valid_depth']))
         return [
             self._evaluate_3d(
                 batch['index'][i],
@@ -161,7 +168,7 @@ class PoseDataset(ABC):
                 batch['transform_opts'][i],
             )
             for i in range(len(norm_preds))
-            if batch['valid_depth'][i] == 1
+            if valid_depth[i] == 1
         ]
 
     @abstractmethod

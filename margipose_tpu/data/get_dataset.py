@@ -39,7 +39,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             get_dataset('mpi3d-val', data_specs, use_aug),
         ], balanced_sampling=False)
 
-    h36m_match = re.match('h36m-(trainval|test)', dataset_name)
+    h36m_match = re.fullmatch('h36m-(trainval|test)', dataset_name)
     if h36m_match:
         subset = h36m_match[1]
         return H36MDataset(
@@ -48,7 +48,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             use_aug=(use_aug and subset != 'test'),
         )
 
-    mpii_match = re.match('mpii-(train|val|trainval|test)', dataset_name)
+    mpii_match = re.fullmatch('mpii-(train|val|trainval|test)', dataset_name)
     if mpii_match:
         subset = mpii_match[1]
         return MpiiDataset(
@@ -57,10 +57,14 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             use_aug=(use_aug and subset != 'test'),
         )
 
-    synth_match = re.fullmatch(r'synthetic(?:-(\d+))?', dataset_name)
+    # optional '@seed' suffix gives disjoint procedural pools, eg.
+    # 'synthetic-64@1' for a validation set that does not overlap the
+    # 'synthetic-512' (seed 0) training set
+    synth_match = re.fullmatch(r'synthetic(?:-(\d+))?(?:@(\d+))?', dataset_name)
     if synth_match:
         length = int(synth_match[1]) if synth_match[1] else 256
+        seed = int(synth_match[2]) if synth_match[2] else 0
         return SyntheticPoseDataset(
-            data_specs=data_specs, length=length, use_aug=use_aug)
+            data_specs=data_specs, length=length, use_aug=use_aug, seed=seed)
 
     raise ValueError(f'unrecognised dataset: {dataset_name}')

@@ -114,8 +114,9 @@ def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):
     def ship(batch):
         out = dict(batch)
         if 'valid_depth' in out:
-            # int32 on host: the train step consumes it as an int mask and
-            # reading it back from device every step would stall the pipe.
+            # normalise dtype before the device transfer below; host-side
+            # consumers (evaluate_3d_batch) take their own one-shot host
+            # copy via host_local_values rather than reading back per row
             out['valid_depth'] = np.asarray(out['valid_depth'], np.int32)
         for f in fields:
             if f in out:

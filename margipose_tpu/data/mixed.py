@@ -50,6 +50,10 @@ class MixedPoseDataset(PoseDataset):
         self.length = sum(self.dataset_lengths)
         self.balanced_sampling = balanced_sampling
         self.seed = seed
+        # shared fixed raw frame size enables on-device augmentation for the
+        # combination (eg. mpi3d-trainval = mpi3d-train + mpi3d-val at 768px)
+        sizes = {d.raw_size for d in datasets}
+        self.raw_size = sizes.pop() if len(sizes) == 1 else None
 
         self.per_dataset_indices = [[] for _ in datasets]
         offset = 0
@@ -94,23 +98,29 @@ class MixedPoseDataset(PoseDataset):
     def to_canonical_skeleton(self, skel):
         return self.datasets[0].to_canonical_skeleton(skel)
 
+    @property
+    def device_aug(self):
+        return all(d.device_aug for d in self.datasets)
+
+    @device_aug.setter
+    def device_aug(self, value):
+        for d in self.datasets:
+            d.device_aug = value
+
     def __len__(self):
         return self.length
 
     def __getitem__(self, index):
         dataset_index, example_index = self._decompose_index(index)
-        example = self.datasets[dataset_index][example_index]
-        return {
-            'index': index,
-            'valid_depth': example['valid_depth'],
-            'original_skel': example['original_skel'],
-            'input': example['input'],
-            'camera_intrinsic': example['camera_intrinsic'],
-            'camera_extrinsic': example['camera_extrinsic'],
-            'target': example['target'],
-            'joint_mask': example['joint_mask'],
-            'transform_opts': {
-                'dataset_index': dataset_index,
-                'opts': example['transform_opts'],
-            },
+        # pass every sample field through — 'input' in the host-aug mode,
+        # raw_image/aug_affine/aug_colour in the device-aug mode — except
+        # frame_ref, whose keys differ between source datasets and would
+        # break batch collation
+        example = dict(self.datasets[dataset_index][example_index])
+        example.pop('frame_ref', None)
+        example['index'] = index
+        example['transform_opts'] = {
+            'dataset_index': dataset_index,
+            'opts': example['transform_opts'],
         }
+        return example

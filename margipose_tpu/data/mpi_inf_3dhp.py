@@ -209,8 +209,22 @@ def resources_dir() -> str:
     return os.environ.get('MARGIPOSE_RESOURCES_DIR', 'resources')
 
 
+_RESOURCE_LISTS: dict = {}
+
+
+def _resource_files(kind: str, pattern: str) -> list:
+    """Cached directory listing — the loader calls this per augmented sample
+    and a glob per sample is measurable at full augmentation rates."""
+    key = (resources_dir(), kind)
+    files = _RESOURCE_LISTS.get(key)
+    if files is None:
+        files = sorted(iglob(path.join(resources_dir(), pattern)))
+        _RESOURCE_LISTS[key] = files
+    return files
+
+
 def random_texture(rng: np.random.RandomState):
-    files = sorted(iglob(path.join(resources_dir(), 'textures/*.png')))
+    files = _resource_files('textures', 'textures/*.png')
     if not files:
         return None
     file = files[rng.randint(0, len(files))]
@@ -303,7 +317,7 @@ def _background_array(file) -> np.ndarray:
 
 
 def random_background(rng: np.random.RandomState):
-    files = sorted(iglob(path.join(resources_dir(), 'backgrounds/*.jpg')))
+    files = _resource_files('backgrounds', 'backgrounds/*.jpg')
     if not files:
         return None
     bg = _background_array(files[rng.randint(0, len(files))])
@@ -357,7 +371,7 @@ class MpiInf3dDataset(PoseDataset):
 
             with h5py.File(metadata_file, 'r') as f:
                 for key in f['interesting_frames'].keys():
-                    camera_id = int(re.match(r'camera(\d)', key).group(1))
+                    camera_id = int(re.match(r'camera(\d+)', key).group(1))
                     for frame_index in f['interesting_frames'][key]:
                         activity_id = (
                             activity_ids[frame_index] if activity_ids is not None else None
@@ -376,6 +390,18 @@ class MpiInf3dDataset(PoseDataset):
         self.without_image = False
         self.multicrop = False
         self.rng = np.random.RandomState(seed)
+        self._calibration_cache: dict = {}
+
+    def _camera_calibration(self, camera_file):
+        """Parsed camera.calibration, cached per sequence — the loader hits
+        this once per sample and the text parse is measurable at full
+        augmentation rates (consumers clone() intrinsics before mutating)."""
+        cal = self._calibration_cache.get(camera_file)
+        if cal is None:
+            with open(path.join(self.data_dir, camera_file), 'r') as f:
+                cal = parse_camera_calibration(f)
+            self._calibration_cache[camera_file] = cal
+        return cal
 
     @staticmethod
     def _mpi_inf_3dhp_to_canonical_skeleton(skel):
@@ -483,8 +509,7 @@ class MpiInf3dDataset(PoseDataset):
             orig_image = PIL.Image.open(path.join(self.data_dir, frame_ref.image_file))
             img_w, img_h = orig_image.size
 
-        with open(path.join(self.data_dir, frame_ref.camera_file), 'r') as f:
-            cam_cal = parse_camera_calibration(f)[frame_ref.camera_id]
+        cam_cal = self._camera_calibration(frame_ref.camera_file)[frame_ref.camera_id]
 
         # Correct for video frames stored at a lower resolution.
         orig_camera = cam_cal['intrinsics'].clone()

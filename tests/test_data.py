@@ -128,3 +128,19 @@ def test_collate_passthrough():
     assert list(batch['b']) == [1, 2]
     assert batch['c'] == ['x', 'y']
     assert isinstance(batch['d'], list) and batch['d'][0] == {'k': 1}
+
+
+def test_dataset_names_match_exactly():
+    """Dataset names must parse exactly: 'mpii-trainval' is trainval (NOT a
+    prefix-match on 'train', which silently dropped the val annotations),
+    and junk suffixes are rejected (reference: src/margipose/data/get_dataset.py:17-58)."""
+    import pytest
+
+    from margipose_tpu.data.get_dataset import get_dataset
+
+    # registry must select the right subset before touching the filesystem:
+    # a wrong prefix parse would pick 'train'; the correct parse reaches the
+    # data-dir check for trainval
+    for name in ['mpii-trainval-x', 'h36m-testfoo', 'mpi3d-trainx']:
+        with pytest.raises(ValueError):
+            get_dataset(name)

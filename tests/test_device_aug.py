@@ -83,3 +83,33 @@ def test_device_prefetch_ships_raw_fields():
 
     assert isinstance(batch['raw_image'], jax.Array)
     assert isinstance(batch['aug_affine'], jax.Array)
+
+
+def test_device_aug_through_mixed_mpi3d_trainval(tmp_path, monkeypatch):
+    """The stock `mpi3d-trainval` name (a MixedPoseDataset) must support the
+    on-device augmentation path: raw_size is inherited from the children and
+    device_aug propagates to them, with raw_image/aug_* fields passed
+    through batching."""
+    import numpy as np
+
+    from margipose_tpu.data.fake_mpi3d import generate_fake_mpi3d
+    from margipose_tpu.models import default_data_specs
+    from margipose_tpu.train.helpers import create_train_dataloader
+
+    base = tmp_path / 'datasets'
+    generate_fake_mpi3d(str(base / 'mpi3d' / 'train'), seqs=((1, 1),),
+                        camera_ids=(0,), n_frames=3)
+    generate_fake_mpi3d(str(base / 'mpi3d' / 'val'), seqs=((2, 1),),
+                        camera_ids=(0,), n_frames=3, seed=1)
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
+
+    loader = create_train_dataloader(
+        ['mpi3d-trainval'], default_data_specs(), batch_size=4,
+        examples_per_epoch=4, use_aug=True, num_workers=0, seed=0,
+        device_aug=True)
+    batch = next(iter(loader))
+    assert batch['raw_image'].shape == (4, 768, 768, 3)
+    assert batch['aug_affine'].shape == (4, 3, 3)
+    assert batch['aug_colour'].shape == (4, 4)
+    assert 'input' not in batch
+    assert np.isfinite(batch['aug_affine']).all()

@@ -199,3 +199,19 @@ def test_install_mpii_dataset_is_idempotent(tmp_path):
     open(path.join(d, 'annot', 'test.h5'), 'wb').close()
     downloaded = install_mpii_dataset(d, skip_images=True)
     assert downloaded == []
+
+
+def test_get_dataset_mpii_trainval_includes_val(tmp_path, monkeypatch):
+    """Regression: 'mpii-trainval' must select the trainval subset — a
+    prefix-match bug parsed it as 'train' and silently dropped the val
+    annotations from the default training mix."""
+    from margipose_tpu.data.get_dataset import get_dataset
+
+    base = tmp_path / 'datasets'
+    generate_fake_mpii(str(base / 'mpii'), n_train=4, n_val=2)
+    monkeypatch.setenv('MARGIPOSE_BASE_DATA_DIR', str(base))
+
+    ds = get_dataset('mpii-trainval', canonical_specs())
+    assert ds.subset == 'trainval'
+    assert len(ds) == 6  # 4 train + 2 val
+    assert len(get_dataset('mpii-train', canonical_specs())) == 4
