@@ -46,6 +46,5 @@ class ModelFactory(ABC):
 
     @abstractmethod
     def create(self, model_desc: dict):
-        assert self.is_for(model_desc["type"], model_desc["version"]), (
-            "model_desc does not match this factory"
-        )
+        """Build the model for a ``model_desc`` this factory ``is_for``
+        (dispatch and validation happen in ``models.create_model``)."""

@@ -94,17 +94,3 @@ class InceptionA(nn.Module):
         x3 = InceptionABranch3(name="branch3")(x, train)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
-
-class InceptionV4Stem(nn.Module):
-    """Blocks 0-6 of InceptionV4 features, same-padded. 256 -> 32 spatial."""
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = BasicConv2d(32, 3, stride=2, padding=1, name="0")(x, train)
-        x = BasicConv2d(32, 3, stride=1, padding=1, name="1")(x, train)
-        x = BasicConv2d(64, 3, stride=1, padding=1, name="2")(x, train)
-        x = Mixed3a(name="3")(x, train)
-        x = Mixed4a(name="4")(x, train)
-        x = Mixed5a(name="5")(x, train)
-        x = InceptionA(name="6")(x, train)
-        return x

@@ -16,7 +16,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from margipose_tpu.models.inception import InceptionV4Stem
 from margipose_tpu.models.layers import BatchNorm, TorchConv, TorchConvTranspose
 from margipose_tpu.models.resnet import ResNetStem
 from margipose_tpu.ops.convs import relu
@@ -129,6 +128,9 @@ def permute_axis_nhwc(x: jax.Array, mode: str) -> jax.Array:
         return x
     b, h, w, c = x.shape
     size = w
+    # both permutations reshape back to (b, h, w, c); with h != w the
+    # reshape would still succeed element-count-wise but scramble data
+    assert h == w, 'axis permutation requires square feature maps'
     assert c % size == 0, 'channel count must divide spatial size'
     groups = c // size
     x5 = x.reshape(b, h, w, groups, size)
@@ -191,14 +193,6 @@ class HeatmapCombiner(nn.Module):
         s, b, h, w, j = stacked.shape
         cat = jnp.transpose(stacked, (1, 2, 3, 0, 4)).reshape(b, h, w, s * j)
         return TorchConv(128, 1, use_bias=False, name='conv')(cat)
-
-
-def make_feature_extractor(name: str) -> nn.Module:
-    if name == 'inceptionv4':
-        return InceptionV4Stem(name='stem')
-    if name in ('resnet18', 'resnet34', 'resnet50'):
-        return ResNetStem(variant=name, name='stem')
-    raise ValueError('unsupported image feature extractor model name: ' + name)
 
 
 class InceptionInCnn(nn.Module):

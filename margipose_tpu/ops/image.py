@@ -119,7 +119,10 @@ def adjust_colour(images: jax.Array, brightness, contrast, saturation,
     saturation = per_ex(saturation)
     hue = per_ex(hue)
 
-    x = images * brightness
+    # clamp after brightness like the host paths (PIL rounds to uint8 after
+    # each enhance; native clamps at margipose_host_ops.cpp:158) so the
+    # contrast gray-mean sees identical inputs for brightness > 1
+    x = jnp.clip(images * brightness, 0.0, 1.0)
 
     # contrast: blend with the scalar mean of the grayscale image
     gray = _grayscale(x)

@@ -92,11 +92,18 @@ def _interpret() -> bool:
 
 
 def _tile_rows(n: int, s: int) -> int:
-    # Aim for ~1 MB tiles in VMEM (f32), at least 8 rows.
-    rows = max(8, min(n, (1 << 18) // max(s, 1)))
-    while n % rows:
-        rows -= 1
-    return max(rows, 1)
+    # Aim for ~1 MB tiles in VMEM (f32), at least 8 rows. Inputs are padded
+    # up to a multiple of the tile (a divisor search would degrade to 1-row
+    # tiles for awkward/prime row counts).
+    return max(8, min(n, (1 << 18) // max(s, 1)))
+
+
+def _pad_rows(arr, tile):
+    pad = (-arr.shape[0]) % tile
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+    return arr
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -108,19 +115,22 @@ def _dsnt_jsd_rows(p, mu, static):
 def _dsnt_jsd_rows_fwd_impl(p, mu, h, w, sigma):
     n, s = p.shape
     tile = _tile_rows(n, s)
+    p = _pad_rows(p, tile)
+    mu = _pad_rows(mu, tile)
+    n_pad = p.shape[0]
     kernel = functools.partial(_fwd_kernel, h, w, sigma)
     out = pl.pallas_call(
         kernel,
-        grid=(n // tile,),
+        grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 4), p.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), p.dtype),
         interpret=_interpret(),
     )(p, mu)
-    return out
+    return out[:n]
 
 
 def _dsnt_jsd_rows_fwd(p, mu, static):
@@ -133,20 +143,24 @@ def _dsnt_jsd_rows_bwd(static, residuals, g):
     p, mu = residuals
     n, s = p.shape
     tile = _tile_rows(n, s)
+    p_pad = _pad_rows(p, tile)
+    mu_pad = _pad_rows(mu, tile)
+    g_pad = _pad_rows(g, tile)
+    n_pad = p_pad.shape[0]
     kernel = functools.partial(_bwd_kernel, h, w, sigma)
     dp = pl.pallas_call(
         kernel,
-        grid=(n // tile,),
+        grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, s), p.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s), p.dtype),
         interpret=_interpret(),
-    )(p, mu, g)
-    return dp, None
+    )(p_pad, mu_pad, g_pad)
+    return dp[:n], None
 
 
 _dsnt_jsd_rows.defvjp(_dsnt_jsd_rows_fwd, _dsnt_jsd_rows_bwd)

@@ -72,3 +72,25 @@ def test_fused_through_softmax_gradients():
         np.asarray(jax.grad(loss_ref)(logits)),
         atol=1e-4,
     )
+
+
+def test_fused_prime_row_count_pads():
+    """Awkward (prime) B*J row counts must not degrade to 1-row tiles: the
+    inputs are padded to the tile size and the padding is sliced off —
+    values and gradients still match the reference ops."""
+    p, mu = _random_heatmaps(b=1, j=13, h=8, w=8, seed=4)  # 13 rows, tile 8
+
+    coords, jsd = dsnt_jsd_fused(p, mu, sigma=1.0)
+    assert_allclose(np.asarray(coords), np.asarray(dsnt(p)), atol=1e-5)
+    assert_allclose(np.asarray(jsd), np.asarray(js_reg_losses(p, mu, 1.0)),
+                    atol=1e-5)
+
+    def fused_loss(p):
+        coords, jsd = dsnt_jsd_fused(p, mu, sigma=1.0)
+        return jnp.sum(coords ** 2) + jnp.sum(jsd)
+
+    def ref_loss(p):
+        return jnp.sum(dsnt(p) ** 2) + jnp.sum(js_reg_losses(p, mu, 1.0))
+
+    assert_allclose(np.asarray(jax.grad(fused_loss)(p)),
+                    np.asarray(jax.grad(ref_loss)(p)), atol=1e-4)
