@@ -61,7 +61,7 @@ def _read_latency():
         import jax.numpy as jnp
 
         x = jnp.zeros((8,))
-        _sync(x)
+        _sync(x + 1.0)  # warm the same add computation that is timed below
         t0 = time.perf_counter()
         for _ in range(5):
             _sync(x + 1.0)
@@ -141,8 +141,9 @@ def main():
         log(f"forward[{prec}] compile: {time.perf_counter() - t0:.1f}s")
         if prec == headline_prec and flops_per_image is None:
             try:
-                ca = jax.jit(forward).lower(variables, images).compile(
-                    ).cost_analysis()
+                # forward is already jitted; analyse the exact executable
+                # being timed rather than a second jit wrapper
+                ca = forward.lower(variables, images).compile().cost_analysis()
                 ca = ca[0] if isinstance(ca, list) else ca
                 flops_per_image = float(ca.get("flops", 0.0)) / batch
                 log(f"analytic flops/image [{prec}]: {flops_per_image:.3e}")

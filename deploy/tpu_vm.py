@@ -101,22 +101,28 @@ def gke_manifest(args) -> str:
     device plugin injects TPU_WORKER_ID / TPU_WORKER_HOSTNAMES into the
     pods, and the trainer calls jax.distributed.initialize() when it sees a
     multi-host environment (margipose_tpu/bin/train_3d.py)."""
-    family, _, chips = args.accelerator_type.rpartition("-")
-    n_chips = int(chips)
+    family, _, suffix = args.accelerator_type.rpartition("-")
     gke_accel = _GKE_ACCELERATORS.get(family)
     if gke_accel is None:
         raise SystemExit(
             f"unknown accelerator family {family!r}; known: "
             f"{sorted(_GKE_ACCELERATORS)}")
+    # The accelerator-type suffix counts CHIPS for v5e/v6e but TENSORCORES
+    # (2 per chip) for v4/v5p (cloud naming convention).
+    n_chips = int(suffix) // 2 if family in ("v4", "v5p") else int(suffix)
     topology = args.topology
     if topology is None:
         if family != "v5litepod" or n_chips not in _V5E_TOPOLOGIES:
             raise SystemExit(
                 f"--topology is required for {args.accelerator_type}")
         topology = _V5E_TOPOLOGIES[n_chips]
-    # v5e: single-host machines carry up to 8 chips; larger slices have 4
-    # chips per host.
-    chips_per_host = n_chips if n_chips <= 8 else 4
+    if family in ("v4", "v5p"):
+        # v4/v5p hosts always carry 4 chips
+        chips_per_host = min(n_chips, 4)
+    else:
+        # v5e/v6e: single-host machines carry up to 8 chips; larger slices
+        # have 4 chips per host
+        chips_per_host = n_chips if n_chips <= 8 else 4
     n_hosts = max(1, n_chips // chips_per_host)
     arg_list = "[" + ", ".join(repr(c) for c in args.command) + "]"
     return f"""\

@@ -134,10 +134,11 @@ def obtain_predictions(forward, loader, known_depth=False,
                        inference_time=inference_time, loss=loss, loss_n=1)
         else:
             if inference_time is not None:
-                # per-example time so the reported median is comparable
+                # per-REAL-example time so the reported median is comparable
                 # across --batch-size settings (the reference's batch-1
-                # surface is per-example by construction)
-                inference_time /= len(in_var)
+                # surface is per-example by construction); padded rows do
+                # cost device time but yield no results
+                inference_time /= n_real
             for i, norm_pred in enumerate(norm_preds):
                 expected, actual = prepare_for_3d_evaluation(
                     batch['original_skel'][i], norm_pred, loader.dataset,

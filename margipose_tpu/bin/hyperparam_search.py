@@ -123,7 +123,7 @@ def run_lr_range_test(cfg: dict) -> dict:
         device_batch = {
             'input': batch['input'], 'target': batch['target'],
             'joint_mask': batch['joint_mask'],
-            'valid_depth': np.asarray(batch['valid_depth'], np.int32),
+            'valid_depth': batch['valid_depth'],
         }
         state, metrics = train_step(state, device_batch)
         pending.append(metrics['loss'])

@@ -231,7 +231,9 @@ def run_training(cfg: dict) -> dict:
     train_step = make_train_step(model, optimiser,
                                  model_desc['settings'].get('pixelwise_loss', 'jsd'),
                                  compute_dtype=cfg['precision'])
-    eval_step = (make_eval_step(model, compute_dtype=cfg['precision'])
+    eval_step = (make_eval_step(model,
+                                model_desc['settings'].get('pixelwise_loss', 'jsd'),
+                                compute_dtype=cfg['precision'])
                  if val_loader else None)
     data_sharding = batch_sharding(mesh)
 
