@@ -236,6 +236,11 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "train_images_per_sec": round(
             train_ips.get(headline_prec, train_ips.get("float32", 0.0)), 2),
+        # the round-1 baseline was recorded with a biased read-latency
+        # calibration (~8-12% optimistic; BASELINE.md "Timing-bias
+        # correction"), so vs_baseline understates true round-over-round
+        # gains by that factor
+        "baseline_note": "r1 baseline ~8-12% inflated (see BASELINE.md)",
     }), flush=True)
 
 
