@@ -94,7 +94,10 @@ def obtain_predictions(forward, loader, known_depth=False,
             # round-trip latency (same method as bench.py).
             K = 8
             xyz, loss = forward(in_var, target, mask, valid_depth)
-            float(loss)  # warm + sync
+            # warm the SAME add computation the timed reads use — its
+            # one-time compile must not inflate the subtracted latency
+            # (see BASELINE.md "Timing-bias correction")
+            float(loss + 1.0)
             t0 = perf_counter()
             for _ in range(3):
                 float((loss + 1.0))

@@ -110,17 +110,22 @@ class MixedPoseDataset(PoseDataset):
     def __len__(self):
         return self.length
 
+    # Fields common to every source dataset in both augmentation modes —
+    # 'input' for host-aug, raw_image/aug_* for device-aug. Dataset-specific
+    # extras (frame_ref, mpii's normalize, ...) are dropped: collate takes
+    # its key set from a batch's first sample, so a key present in only one
+    # source would crash mixed batches.
+    _PASS_FIELDS = ('valid_depth', 'original_skel', 'camera_intrinsic',
+                    'camera_extrinsic', 'target', 'joint_mask',
+                    'input', 'raw_image', 'aug_affine', 'aug_colour')
+
     def __getitem__(self, index):
         dataset_index, example_index = self._decompose_index(index)
-        # pass every sample field through — 'input' in the host-aug mode,
-        # raw_image/aug_affine/aug_colour in the device-aug mode — except
-        # frame_ref, whose keys differ between source datasets and would
-        # break batch collation
-        example = dict(self.datasets[dataset_index][example_index])
-        example.pop('frame_ref', None)
-        example['index'] = index
-        example['transform_opts'] = {
+        example = self.datasets[dataset_index][example_index]
+        out = {k: example[k] for k in self._PASS_FIELDS if k in example}
+        out['index'] = index
+        out['transform_opts'] = {
             'dataset_index': dataset_index,
             'opts': example['transform_opts'],
         }
-        return example
+        return out

@@ -217,9 +217,10 @@ def _resource_files(kind: str, pattern: str) -> list:
     and a glob per sample is measurable at full augmentation rates."""
     key = (resources_dir(), kind)
     files = _RESOURCE_LISTS.get(key)
-    if files is None:
+    if not files:
         files = sorted(iglob(path.join(resources_dir(), pattern)))
-        _RESOURCE_LISTS[key] = files
+        if files:  # never cache a miss: assets may appear later in-process
+            _RESOURCE_LISTS[key] = files
     return files
 
 

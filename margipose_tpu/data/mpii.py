@@ -307,5 +307,8 @@ def install_mpii_dataset(data_dir, skip_images=False):
             os.replace(tar_path + '.part', tar_path)
             downloaded.append(tar_path)
         with tarfile.open(tar_path) as tf:
-            tf.extractall(data_dir, filter='data')
+            try:
+                tf.extractall(data_dir, filter='data')
+            except TypeError:  # filter= needs Python >= 3.10.12 / 3.11.4
+                tf.extractall(data_dir)
     return downloaded

@@ -246,7 +246,9 @@ def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
         out = capsys.readouterr().out
         table = out.split('### Overall')[1]
         row = [ln for ln in table.splitlines() if ln.startswith('|  0')][0]
-        return float(row.split('|')[-2])  # mpjpe is the second-to-last column
+        # markdown rows end with '|' so split() has a trailing '' —
+        # [-3] is the mpjpe column, [-2] would be pck
+        return float(row.split('|')[-3])
 
     m1 = overall_mpjpe(['eval', '--model', trained_ckpt,
                         '--dataset', 'synthetic-6'])

@@ -121,6 +121,16 @@ def test_mixed_mpi3d_mpii_loader(mpii_dir, tmp_path_factory):
     assert batch['input'].shape == (4, 256, 256, 3)
     assert set(vd.tolist()) == {0, 1}, vd  # both 3D and 2D examples present
 
+    # odd batch size: every second batch STARTS with an mpii example, whose
+    # dataset-specific sample keys (eg. 'normalize') must not leak into the
+    # collated key set (collate takes keys from the first sample)
+    odd_loader = make_dataloader(
+        mixed, batch_size=3,
+        sampler=mixed.sampler(examples_per_epoch=6, seed=0))
+    for b in odd_loader:
+        assert b['input'].shape[1:] == (256, 256, 3)
+        assert 'normalize' not in b
+
 
 def test_eval_cli_on_fake_h36m_test(tmp_path, monkeypatch, capsys):
     """The production eval surface for h36m (gate config #3 shape): known
