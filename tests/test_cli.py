@@ -324,3 +324,22 @@ def test_generate_resources(tmp_path):
     assert len(glob.glob(path.join(out, 'backgrounds', '*.jpg'))) == 16
     assert len(glob.glob(path.join(out, 'textures', '*.png'))) == 8
     assert path.isfile(path.join(out, 'man_running.jpg'))
+
+
+def test_infer_cli_wide_image(trained_ckpt, tmp_path):
+    """Non-square large photos go through the binding-ratio pre-reduce
+    (anti-aliasing) path before the device warp."""
+    import PIL.Image
+
+    from margipose_tpu.bin.infer_single import main as infer_main
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    ds = SyntheticPoseDataset(length=1)
+    img = ds.input_to_pil_image(ds[0]['input']).resize((1024, 384))
+    img_file = str(tmp_path / 'wide.jpg')
+    img.save(img_file, quality=92)
+    out_file = str(tmp_path / 'result.png')
+
+    infer_main(['infer', '--model', trained_ckpt, '--image', img_file,
+                '--out-file', out_file], {'device': 'auto'})
+    assert path.isfile(out_file)
