@@ -16,18 +16,44 @@ import os
 
 
 def _host_fingerprint() -> str:
+    """Key the cache dir by everything that determines XLA:CPU AOT target
+    features.
+
+    XLA records *derived* LLVM target features in AOT results (tuning flags
+    like ``+prefer-no-gather``), which are a function of (a) the CPU's raw
+    feature flags, (b) the CPU model/family (uarch-specific tuning), and
+    (c) the LLVM baked into jaxlib. Keying on all three means two hosts can
+    share a cache entry only when the derived features provably match, so
+    cross-host loads can never SIGILL. (The cpu_aot_loader.cc mismatch
+    message that still appears on SAME-host loads is an upstream cosmetic
+    artefact: the loader compares the recorded LLVM feature string, tuning
+    flags included, against plain host-detected features that never list
+    tuning flags — see __graft_entry__.dryrun_multichip for how the driver
+    tail stays clean.)
+    """
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "model name", "cpu family", "model",
+                           "stepping", "vendor_id"):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                if line.strip() == "" and parts:
+                    break  # first CPU block is enough
     except OSError:
         pass
-    import platform
+    if not parts:
+        import platform
 
-    return hashlib.sha1(
-        (platform.machine() + platform.processor()).encode()).hexdigest()[:10]
+        parts = [platform.machine(), platform.processor()]
+    try:
+        from importlib.metadata import version
+
+        parts.append("jaxlib=" + version("jaxlib"))
+    except Exception:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
 
 
 def compile_cache_dir(repo_root: str) -> str:
