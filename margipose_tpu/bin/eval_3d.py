@@ -41,6 +41,15 @@ def parse_args(argv):
                         choices=['float32', 'bfloat16'],
                         help='compute dtype (float32 for checkpoint-parity '
                              'metrics; bfloat16 for TPU throughput)')
+    parser.add_argument('--num-workers', type=int, metavar='N', default=0,
+                        help='loader threads prefetching upcoming examples '
+                             '(multicrop items / batches) while the device '
+                             'runs inference. Default 0 (synchronous): on a '
+                             'single-core host with a remote-relay TPU the '
+                             'prefetch threads contend with the host->device '
+                             'transfer pump and INCREASE wall time (measured '
+                             '~1.8x, BASELINE.md); set 2-4 on multi-core '
+                             'TPU-VM hosts')
     return parser.parse_args(argv[1:])
 
 
@@ -205,9 +214,10 @@ def main(argv, common_opts):
 
     if args.multicrop:
         dataset.multicrop = True
-        loader = make_unbatched_dataloader(dataset)
+        loader = make_unbatched_dataloader(dataset, num_workers=args.num_workers)
     else:
-        loader = make_dataloader(dataset, batch_size=args.batch_size)
+        loader = make_dataloader(dataset, batch_size=args.batch_size,
+                                 num_workers=args.num_workers)
 
     if args.dataset.startswith('h36m-'):
         known_depth = True

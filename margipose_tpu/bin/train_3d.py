@@ -290,17 +290,20 @@ def run_training(cfg: dict) -> dict:
     return result
 
 
-def _host_metrics(batch, dataset, preds, tel, prefix):
-    from margipose_tpu.parallel import host_local_values
-
+def _host_metrics_np(batch, dataset, host_preds, tel, prefix):
     # Each process scores its own rows of the (possibly multi-host) batch —
     # the host-side fields in `batch` are local to this process already.
-    norm_preds = ensure_homogeneous(
-        host_local_values(preds).astype(np.float64), d=3)
+    norm_preds = ensure_homogeneous(host_preds.astype(np.float64), d=3)
     metrics = dataset.evaluate_3d_batch(batch, norm_preds)
     for m in metrics:
         tel[f'{prefix}_mpjpe'].add(m['mpjpe'])
         tel[f'{prefix}_pck'].add(m['pck'])
+
+
+def _host_metrics(batch, dataset, preds, tel, prefix):
+    from margipose_tpu.parallel import host_local_values
+
+    _host_metrics_np(batch, dataset, host_local_values(preds), tel, prefix)
 
 
 def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
@@ -400,7 +403,43 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
 
 
 def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
+    """Validation epoch with windowed device->host drains.
+
+    Mirrors do_training_pass's drain machinery: losses AND predictions stay
+    on device while eval steps are enqueued back-to-back, then each
+    ``metrics_every``-batch window is drained in two stacked transfers (one
+    for losses, one for predictions) instead of one ~29 ms relay round-trip
+    per batch (BASELINE.md device->host read latency). Host metrics run on
+    every example either way — validation scores the full epoch, unlike the
+    sampled train-pass metrics. (reference: src/margipose/bin/train_3d.py:
+    199-226 reads every batch synchronously; it runs on a local GPU where
+    that costs nothing.)
+    """
+    import jax.numpy as jnp
+
+    from margipose_tpu.parallel import host_local_values
+
     batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
+    pending = []  # [(loss_dev, pred_dev, host_batch)] for the open window
+
+    def drain_window():
+        if not pending:
+            return
+        losses = np.asarray(jnp.stack([l for l, _, _ in pending]))  # 1 read
+        for loss in losses:
+            tel['val_loss'].add(float(loss))
+        preds = [p for _, p, _ in pending]
+        if (len({p.shape for p in preds}) == 1
+                and all(getattr(p, 'is_fully_addressable', True) for p in preds)):
+            host_preds = list(np.asarray(jnp.stack(preds)))  # 1 read
+        else:
+            # Ragged tail batch, or multi-process (each host must read only
+            # its own rows): per-batch reads for this window only.
+            host_preds = [host_local_values(p) for p in preds]
+        for (_, _, batch), hp in zip(pending, host_preds):
+            _host_metrics_np(batch, loader.dataset, hp, tel, 'val')
+        pending.clear()
+
     for batch in batch_iter:
         device_batch = {
             'input': batch['input'],
@@ -409,8 +448,10 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
             'valid_depth': batch['valid_depth'],  # int32 device array (loader)
         }
         metrics = eval_step(state.params, state.batch_stats, device_batch)
-        tel['val_loss'].add(float(metrics['loss']))
-        _host_metrics(batch, loader.dataset, metrics['pred'], tel, 'val')
+        pending.append((metrics['loss'], metrics['pred'], batch))
+        if len(pending) >= cfg['metrics_every']:
+            drain_window()
+    drain_window()
 
 
 def main(argv, common_opts):

@@ -74,18 +74,46 @@ class DataLoader:
 
 
 class UnbatchedDataLoader:
-    """Sequential loader where each dataset item is itself a (multicrop)
-    batch (reference: src/margipose/data/__init__.py:202-232)."""
+    """Loader where each dataset item is itself a (multicrop) batch
+    (reference: src/margipose/data/__init__.py:202-232).
 
-    def __init__(self, dataset):
+    With ``num_workers`` > 0 upcoming items are loaded ahead in a thread
+    pool (decode + 10-crop assembly release the GIL in PIL/numpy/native
+    code), overlapping host item preparation with device inference instead
+    of serialising them — the reference's multicrop path is likewise
+    num_workers-driven via torch's DataLoader. Items are yielded strictly
+    in dataset order either way.
+    """
+
+    def __init__(self, dataset, num_workers=0, prefetch_items=4):
         self.dataset = dataset
+        self.num_workers = num_workers
+        self.prefetch_items = max(prefetch_items, 1)
 
     def __len__(self):
         return len(self.dataset)
 
     def __iter__(self):
-        for i in range(len(self.dataset)):
-            yield self.dataset[i]
+        if self.num_workers <= 0:
+            for i in range(len(self.dataset)):
+                yield self.dataset[i]
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            indices = iter(range(len(self.dataset)))
+            try:
+                for i in itertools.islice(indices, self.prefetch_items):
+                    pending.append(pool.submit(self.dataset.__getitem__, i))
+                for i in indices:
+                    out = pending.pop(0).result()
+                    pending.append(pool.submit(self.dataset.__getitem__, i))
+                    yield out
+                for fut in pending:
+                    yield fut.result()
+            finally:
+                for fut in pending:
+                    fut.cancel()
 
 
 def make_dataloader(dataset, batch_size=1, sampler=None, drop_last=False,
@@ -94,8 +122,8 @@ def make_dataloader(dataset, batch_size=1, sampler=None, drop_last=False,
                       drop_last=drop_last, num_workers=num_workers)
 
 
-def make_unbatched_dataloader(dataset):
-    return UnbatchedDataLoader(dataset)
+def make_unbatched_dataloader(dataset, num_workers=0):
+    return UnbatchedDataLoader(dataset, num_workers=num_workers)
 
 
 def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):

@@ -70,6 +70,19 @@ def test_multicrop_collated():
     assert len(loader) == 2
 
 
+def test_unbatched_loader_worker_prefetch_preserves_order():
+    """Threaded multicrop prefetch must yield the same items, in dataset
+    order, as the synchronous path."""
+    ds = SyntheticPoseDataset(length=5)
+    ds.multicrop = True
+    sync_items = list(make_unbatched_dataloader(ds, num_workers=0))
+    threaded_items = list(make_unbatched_dataloader(ds, num_workers=3))
+    assert len(threaded_items) == len(sync_items) == 5
+    for a, b in zip(sync_items, threaded_items):
+        np.testing.assert_array_equal(a['input'], b['input'])
+        np.testing.assert_array_equal(a['target'], b['target'])
+
+
 def test_round_robin_sampler_alternates():
     sampler = RoundRobinSampler([[0, 1, 2], [10, 11, 12]], 6, seed=0)
     indices = list(sampler)
