@@ -46,7 +46,9 @@ def parse_args(argv):
 def _load_and_process_example(dataset, forward, index):
     example = dataset[index]
     inp = example['input']
-    result = {'example': example, 'pred': None, 'metrics': None, 'heatmaps': None}
+    result = {'example': example, 'pred': None, 'metrics': None,
+              'heatmaps': None, 'skel3d': None}
+    has_depth = example.get('valid_depth', 1) == 1
     if forward is not None:
         import jax.numpy as jnp
 
@@ -58,12 +60,69 @@ def _load_and_process_example(dataset, forward, index):
             'zy': np.asarray(out.zy_heatmaps[-1][0]),
             'xz': np.asarray(out.xz_heatmaps[-1][0]),
         }
-        if example.get('valid_depth', 1) == 1:
+        if has_depth:
             expected, actual = prepare_for_3d_evaluation(
                 example['original_skel'], ensure_homogeneous(pred, 3), dataset,
                 example['camera_intrinsic'], example['transform_opts'])
             result['metrics'] = gather_3d_metrics(expected, actual)
+            result['skel3d'] = {'expected': expected, 'actual': actual}
+    if result['skel3d'] is None and has_depth:
+        # no model: ground-truth-only 3D view, like the reference GUI with
+        # --model omitted (reference: src/margipose/bin/run_gui.py:252-262)
+        from margipose_tpu.geometry.coords import ensure_cartesian
+        from margipose_tpu.geometry.skeleton import (
+            CanonicalSkeletonDesc,
+            absolute_to_root_relative,
+        )
+
+        expected = absolute_to_root_relative(
+            dataset.to_canonical_skeleton(
+                ensure_cartesian(np.asarray(example['original_skel'], np.float64), 3)),
+            CanonicalSkeletonDesc.root_joint_id)
+        result['skel3d'] = {'expected': expected, 'actual': None}
     return result
+
+
+def _skeleton_3d_panel(skel3d, aligned=False, size=320):
+    """Pred-vs-GT root-relative skeleton wireframes on a 3D axes as a PIL
+    image: prediction opaque, ground truth translucent, Procrustes-aligned
+    prediction when ``aligned`` (reference: src/margipose/bin/run_gui.py:
+    249-278, plot helper src/margipose/utils.py:124-170)."""
+    import matplotlib
+
+    matplotlib.use('Agg', force=False)
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    from margipose_tpu.geometry.skeleton import (
+        CanonicalSkeletonDesc,
+        apply_rigid_alignment,
+    )
+    from margipose_tpu.utils import plot_skeleton_on_axes3d
+
+    fig = Figure(figsize=(size / 100, size / 100), dpi=100)
+    canvas = FigureCanvasAgg(fig)
+    ax = fig.add_subplot(1, 1, 1, projection='3d')
+    expected = np.asarray(skel3d['expected'], np.float64)
+    if skel3d.get('actual') is not None:
+        actual = np.asarray(skel3d['actual'], np.float64)
+        if aligned:
+            actual = apply_rigid_alignment(actual, expected)
+        plot_skeleton_on_axes3d(actual, CanonicalSkeletonDesc, ax, alpha=1.0)
+        plot_skeleton_on_axes3d(expected, CanonicalSkeletonDesc, ax, alpha=1 / 3)
+    else:
+        plot_skeleton_on_axes3d(expected, CanonicalSkeletonDesc, ax, alpha=1.0)
+    # equal aspect around the root so pose proportions read correctly
+    lim = max(float(np.abs(expected).max()), 1.0) * 1.1
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_zlim(-lim, lim)
+    ax.set_title('aligned' if aligned else 'camera space', fontsize=8)
+    canvas.draw()
+    w, h = canvas.get_width_height()
+    img = PIL.Image.frombuffer('RGBA', (w, h), canvas.buffer_rgba()).convert('RGB')
+    fig.clf()
+    return img
 
 
 def _overlay_image(dataset, example, pred):
@@ -141,6 +200,22 @@ def export_html(dataset, forward, out_file, n_examples):
         r = _load_and_process_example(dataset, forward, i)
         overlay = _overlay_image(dataset, r['example'], r['pred'])
         cells = [f'<td><img src="data:image/png;base64,{_img_to_b64(overlay)}"></td>']
+        if r['skel3d'] is not None:
+            # two pre-rendered variants behind the Procrustes toggle;
+            # a GT-only pane (no prediction) has nothing to align, so it
+            # stays visible in both toggle states
+            plain3d = _skeleton_3d_panel(r['skel3d'], aligned=False)
+            if r['skel3d'].get('actual') is not None:
+                aligned3d = _skeleton_3d_panel(r['skel3d'], aligned=True)
+                cell = (f'<td><img class="plain" src="data:image/png;base64,'
+                        f'{_img_to_b64(plain3d)}">'
+                        f'<img class="aligned" style="display:none" '
+                        f'src="data:image/png;base64,{_img_to_b64(aligned3d)}">')
+            else:
+                cell = (f'<td><img src="data:image/png;base64,'
+                        f'{_img_to_b64(plain3d)}">')
+            cells.append(cell + '<br><small>3D: prediction opaque, ground '
+                                'truth translucent</small></td>')
         if r['heatmaps'] is not None:
             img = dataset.input_to_pil_image(np.asarray(r['example']['input']))
             strips = []
@@ -208,8 +283,12 @@ def run_tk_gui(dataset, forward):
     var_joint = tk.StringVar(value=joint_names[0])
     var_aligned = tk.IntVar(value=0)
 
-    img_label = tk.Label(root)
-    img_label.pack()
+    panes = tk.Frame(root)
+    panes.pack()
+    img_label = tk.Label(panes)
+    img_label.pack(side=tk.LEFT)
+    skel3d_label = tk.Label(panes)
+    skel3d_label.pack(side=tk.LEFT)
     hm_label = tk.Label(root)
     hm_label.pack()
     hm_caption = tk.Label(root, text='')
@@ -235,6 +314,17 @@ def run_tk_gui(dataset, forward):
             text=f'{var_joint.get()}: xy / xz / zy marginal heatmaps '
                  '(crosshairs = soft-argmax mean)')
 
+    def refresh_skeleton_3d():
+        r = state['result']
+        if r is None or r['skel3d'] is None:
+            skel3d_label.configure(image='')
+            return
+        panel = _skeleton_3d_panel(r['skel3d'], aligned=bool(var_aligned.get()),
+                                   size=512)
+        photo = ImageTk.PhotoImage(panel)
+        skel3d_label.configure(image=photo)
+        skel3d_label.image = photo
+
     def refresh_info():
         r = state['result']
         text = f"example {state['index'] + 1}/{len(dataset)}"
@@ -255,6 +345,7 @@ def run_tk_gui(dataset, forward):
         photo = ImageTk.PhotoImage(overlay)
         img_label.configure(image=photo)
         img_label.image = photo
+        refresh_skeleton_3d()
         refresh_heatmaps()
         refresh_info()
 
@@ -269,8 +360,12 @@ def run_tk_gui(dataset, forward):
     tk.Label(controls, text='  Joint:').pack(side=tk.LEFT)
     tk.OptionMenu(controls, var_joint, *joint_names,
                   command=lambda _=None: refresh_heatmaps()).pack(side=tk.LEFT)
+    def on_aligned_toggle():
+        refresh_skeleton_3d()
+        refresh_info()
+
     tk.Checkbutton(controls, text='Procrustes alignment', variable=var_aligned,
-                   command=refresh_info).pack(side=tk.LEFT)
+                   command=on_aligned_toggle).pack(side=tk.LEFT)
     refresh()
     root.mainloop()
 

@@ -51,8 +51,12 @@ def draw_skeleton_2d(img: PIL.Image.Image, skel2d, skel_desc, width=2):
     return img
 
 
-def plot_skeleton_on_axes3d(skel, skel_desc, ax, invert=True):
-    """3D matplotlib skeleton plot (reference: src/margipose/utils.py:124-170)."""
+def plot_skeleton_on_axes3d(skel, skel_desc, ax, invert=True, alpha=1.0):
+    """3D matplotlib skeleton plot (reference: src/margipose/utils.py:124-170).
+
+    ``alpha`` dims a skeleton so prediction (opaque) and ground truth
+    (translucent) can share one axes, as the reference GUI's 3D pane does
+    (reference: src/margipose/bin/run_gui.py:262-270)."""
     skel = np.asarray(skel)
     for j, parent in enumerate(skel_desc.joint_tree):
         if j == parent:
@@ -64,7 +68,7 @@ def plot_skeleton_on_axes3d(skel, skel_desc, ax, invert=True):
         ys = [skel[j, 1], skel[parent, 1]]
         zs = [skel[j, 2], skel[parent, 2]]
         # plot with z up-ish: use (x, z, -y) so the person stands upright
-        ax.plot(xs, zs, [-y for y in ys], color=tuple(colour))
+        ax.plot(xs, zs, [-y for y in ys], color=tuple(colour), alpha=alpha)
     ax.set_xlabel('x')
     ax.set_ylabel('z')
     ax.set_zlabel('-y')

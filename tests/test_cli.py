@@ -104,6 +104,11 @@ def test_gui_html_export(trained_ckpt, tmp_path):
     assert '<select id="joint">' in html
     assert CanonicalSkeletonDesc.joint_names[3] in html
     assert 'id="aligned"' in html and 'class="aligned"' in html
+    # 3D skeleton pane (reference: src/margipose/bin/run_gui.py:249-278):
+    # pred-vs-GT wireframes, with a Procrustes-aligned variant behind the
+    # toggle
+    assert '3D: prediction opaque, ground truth translucent' in html
+    assert html.count('class="aligned"') >= 2  # metrics + aligned 3D pane
 
 
 def test_config_parsing():
