@@ -109,11 +109,18 @@ ex.add_config(
     device_aug=False,          # apply the geometric/colour augmentation ON
                                # DEVICE as one fused XLA program over the
                                # batch (ops/image.py device_augment): the
-                               # host loader ships raw fixed-size frames +
+                               # host loader ships raw uint8 frames +
                                # composed affines + colour params instead of
-                               # warped tensors. Needs all train datasets to
-                               # share one fixed raw frame size (mpi3d 768px,
-                               # synthetic). BASELINE.md north-star item.
+                               # warped tensors. Variable-size datasets
+                               # (mpii, h36m) are letterboxed onto a shared
+                               # canvas. BASELINE.md north-star item.
+    device_aug_canvas=0,       # >0: crop-ship mode — ship only each
+                               # example's affine source region letterboxed
+                               # onto an NxN canvas (fewer host->device
+                               # bytes than even host-side warping; the
+                               # production setting, e.g. 384). 0: ship
+                               # full frames (pixel-exact for fixed-size
+                               # sources).
 )
 
 
@@ -181,7 +188,8 @@ def run_training(cfg: dict) -> dict:
         cfg['train_datasets'], data_specs, local_batch,
         cfg['train_examples'] // n_proc, cfg['use_aug'],
         num_workers=cfg['num_workers'], seed=loader_seed,
-        device_aug=cfg.get('device_aug', False))
+        device_aug=cfg.get('device_aug', False),
+        device_aug_canvas=cfg.get('device_aug_canvas', 0))
     val_loader = None
     if cfg['val_datasets']:
         val_loader = create_val_dataloader(

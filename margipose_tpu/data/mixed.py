@@ -107,6 +107,25 @@ class MixedPoseDataset(PoseDataset):
         for d in self.datasets:
             d.device_aug = value
 
+    @property
+    def device_aug_canvas(self):
+        canvases = {d.device_aug_canvas for d in self.datasets}
+        return canvases.pop() if len(canvases) == 1 else None
+
+    @device_aug_canvas.setter
+    def device_aug_canvas(self, value):
+        for d in self.datasets:
+            d.device_aug_canvas = value
+
+    @property
+    def device_aug_crop(self):
+        return all(d.device_aug_crop for d in self.datasets)
+
+    @device_aug_crop.setter
+    def device_aug_crop(self, value):
+        for d in self.datasets:
+            d.device_aug_crop = value
+
     def __len__(self):
         return self.length
 

@@ -230,11 +230,14 @@ class MpiiDataset(PoseDataset):
         orig_target = lifted
 
         ctx = self.create_transformer_context(transform_opts)
-        camera_int, img, part_coords = ctx.transform(orig_camera, orig_image, orig_target)
+        use_device_aug = self.device_aug and not getattr(self, 'multicrop', False)
+        host_image = None if use_device_aug else orig_image
+        camera_int, img, part_coords = ctx.transform(orig_camera, host_image, orig_target)
 
         z_ref = part_coords[self.skeleton_desc.root_joint_id, 2]
         part_coords = self.skeleton_normaliser.normalise_skeleton(
-            part_coords, z_ref, camera_int, img.height, img.width)
+            part_coords, z_ref, camera_int,
+            transform_opts['out_height'], transform_opts['out_width'])
 
         if aug_hflip:
             # Relabel masks to match the flipped joints
@@ -247,18 +250,24 @@ class MpiiDataset(PoseDataset):
             within = (np.abs(part_coords[:, :2]) < 1).all(axis=-1)
             joint_mask = joint_mask * within.astype(np.float32)
 
-        return {
+        sample = {
             'index': index,
             'valid_depth': 0,
             'normalize': normalize,
             'joint_mask': joint_mask.astype(np.float32),
-            'input': self.input_to_tensor(img),
             'camera_intrinsic': camera_int,
             'camera_extrinsic': extrinsics,
             'transform_opts': transform_opts,
             'original_skel': orig_target,
             'target': part_coords.astype(np.float32),
         }
+        if use_device_aug:
+            # variable-size MPII frames are letterboxed onto the shared
+            # canvas inside device_aug_fields
+            sample.update(self.device_aug_fields(ctx, orig_image))
+        else:
+            sample['input'] = self.input_to_tensor(img)
+        return sample
 
     def to_canonical_skeleton_public(self, skel):
         return self.to_canonical_skeleton(skel)

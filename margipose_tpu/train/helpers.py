@@ -11,16 +11,37 @@ from margipose_tpu.utils import draw_skeleton_2d
 
 
 def _create_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
-                       use_aug, num_workers=4, seed=None, device_aug=False):
+                       use_aug, num_workers=4, seed=None, device_aug=False,
+                       device_aug_canvas=0):
     datasets = [get_dataset(name, data_specs, use_aug=use_aug) for name in dataset_names]
     assert len(datasets) > 0, 'at least one dataset must be specified'
     if device_aug:
-        sizes = {d.raw_size for d in datasets}
-        assert None not in sizes and len(sizes) == 1, (
-            f'device_aug=True needs all datasets to share one fixed raw frame '
-            f'size; got {[(n, d.raw_size) for n, d in zip(dataset_names, datasets)]}')
+        # One static raw canvas for the whole (possibly mixed) recipe.
+        #
+        # device_aug_canvas > 0 selects CROP-SHIP mode: each example ships
+        # only the affine's source region letterboxed onto an NxN canvas
+        # (PoseDataset.device_aug_fields), cutting host->device bytes below
+        # even the host-aug path's warped float32 — the production mode,
+        # and the only one that wins on transfer-constrained links
+        # (BASELINE.md round-3 device-aug soak).
+        #
+        # device_aug_canvas == 0 ships FULL frames: fixed-size sources
+        # (mpi3d 768px, synthetic) dictate the canvas and pass through
+        # pixel-exact; variable-size sources (mpii, h36m) are letterboxed
+        # onto it. 768px default matches the preprocessed mpi3d frame size
+        # (SURVEY §3.5) when no source is fixed.
+        if device_aug_canvas:
+            canvas = (int(device_aug_canvas), int(device_aug_canvas))
+        else:
+            fixed = [d.raw_size for d in datasets if d.raw_size is not None]
+            if fixed:
+                canvas = (max(s[0] for s in fixed), max(s[1] for s in fixed))
+            else:
+                canvas = (768, 768)
         for d in datasets:
             d.device_aug = True
+            d.device_aug_canvas = canvas
+            d.device_aug_crop = bool(device_aug_canvas)
     dataset = datasets[0] if len(datasets) == 1 else MixedPoseDataset(datasets)
     return DataLoader(
         dataset,
@@ -33,10 +54,11 @@ def _create_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch
 
 def create_train_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
                             use_aug=True, num_workers=4, seed=None,
-                            device_aug=False):
+                            device_aug=False, device_aug_canvas=0):
     return _create_dataloader(dataset_names, data_specs, batch_size,
                               examples_per_epoch, use_aug, num_workers, seed,
-                              device_aug=device_aug)
+                              device_aug=device_aug,
+                              device_aug_canvas=device_aug_canvas)
 
 
 def create_val_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
