@@ -121,6 +121,12 @@ ex.add_config(
                                # production setting, e.g. 384). 0: ship
                                # full frames (pixel-exact for fixed-size
                                # sources).
+    prefetch_depth=2,          # host->device transfers kept in flight by
+                               # device_prefetch; 1 paces transfers to
+                               # reduce HBM/link contention with the
+                               # running step, larger overlaps more
+                               # (BASELINE.md train-step attribution
+                               # experiment)
 )
 
 
@@ -321,7 +327,8 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
     import jax.numpy as jnp
 
     vis_done = False
-    batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
+    batch_iter = device_prefetch(iter(loader), sharding=data_sharding,
+                                 depth=cfg.get('prefetch_depth', 2))
     i = 0
     profile_steps = cfg.get('profile_steps', 0)
     profiling = False
@@ -427,7 +434,8 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
 
     from margipose_tpu.parallel import host_local_values
 
-    batch_iter = device_prefetch(iter(loader), sharding=data_sharding)
+    batch_iter = device_prefetch(iter(loader), sharding=data_sharding,
+                                 depth=cfg.get('prefetch_depth', 2))
     pending = []  # [(loss_dev, pred_dev, host_batch)] for the open window
 
     def drain_window():
