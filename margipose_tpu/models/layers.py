@@ -12,6 +12,7 @@ convs, BN scale=1 / bias=0.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence, Union
 
 import flax.linen as nn
@@ -119,6 +120,13 @@ class BatchNorm(nn.Module):
 
     Running stats live in the ``batch_stats`` collection. Set ``axis_name``
     to sync batch statistics across a mesh axis under pjit/shard_map.
+
+    ``MARGIPOSE_BN_BF16_STATS=1`` (experimental, bf16 compute scope only)
+    computes the batch mean / mean-of-squares reductions with bfloat16
+    outputs instead of float32, keeping the running-stat EMA in float32 —
+    the BN-reduction-traffic experiment from BASELINE.md's train-step
+    attribution. Param/collection names match nn.BatchNorm exactly
+    (scale/bias, mean/var) so checkpoints are interchangeable.
     """
 
     epsilon: float = 1e-5
@@ -127,6 +135,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        cd = current_compute_dtype()
+        if (train and cd == jnp.bfloat16
+                and os.environ.get('MARGIPOSE_BN_BF16_STATS', '') not in ('', '0')):
+            # name matches nn.BatchNorm's auto-assigned child scope so the
+            # param/stat tree is identical in both modes
+            return _Bf16StatsBN(self.epsilon, self.momentum,
+                                name='BatchNorm_0')(x)
         # Under a bf16 compute scope, pass dtype so the normalized output is
         # cast back to bf16 (otherwise the f32 running stats / scale promote
         # every BN output to f32, defeating mixed precision). Batch stats are
@@ -137,8 +152,39 @@ class BatchNorm(nn.Module):
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name if train else None,
-            dtype=current_compute_dtype(),
+            dtype=cd,
         )(x)
+
+
+class _Bf16StatsBN(nn.Module):
+    """Experimental BN body: bf16-output stat reductions, f32 EMA/normalise
+    (see BatchNorm docstring)."""
+
+    epsilon: float
+    momentum: float
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((feat,), jnp.float32))
+        axes = tuple(range(x.ndim - 1))
+        xb = x.astype(jnp.bfloat16)
+        mean_b = jnp.mean(xb, axes)                    # bf16-output reduce
+        meansq_b = jnp.mean(jax.lax.square(xb), axes)  # bf16-output reduce
+        mean = mean_b.astype(jnp.float32)
+        var = jnp.maximum(meansq_b.astype(jnp.float32) - jnp.square(mean), 0.0)
+        if not self.is_initializing():
+            m = 1.0 - self.momentum  # flax-convention EMA factor (0.9)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
 
 
 class BasicConv2d(nn.Module):
