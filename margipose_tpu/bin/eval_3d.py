@@ -12,7 +12,11 @@ import pandas as pd
 
 from margipose_tpu.cli import Subcommand
 from margipose_tpu.data.get_dataset import get_dataset
-from margipose_tpu.data.loader import make_dataloader, make_unbatched_dataloader
+from margipose_tpu.data.loader import (
+    device_prefetch,
+    make_dataloader,
+    make_unbatched_dataloader,
+)
 from margipose_tpu.eval import gather_3d_metrics, prepare_for_3d_evaluation
 from margipose_tpu.geometry.coords import ensure_homogeneous
 from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc, VNect_Common_Skeleton
@@ -53,6 +57,43 @@ def parse_args(argv):
     return parser.parse_args(argv[1:])
 
 
+def _padded_device_batches(loader, multicrop, batch_size):
+    """Pad tail batches host-side, then pipeline the host->device transfers.
+
+    Padding to one static shape keeps a single compiled executable; routing
+    through ``device_prefetch`` keeps ``depth`` transfers in flight so the
+    (relay-expensive) input upload of batch k+1 overlaps batch k's forward
+    instead of serialising with it."""
+
+    def padded():
+        for batch in loader:
+            n_real = int(np.asarray(batch['valid_depth']).shape[0])
+            pad = 0 if multicrop else max(batch_size - n_real, 0)
+
+            def _pad(arr):
+                arr = np.asarray(arr)
+                if pad == 0:
+                    return arr
+                return np.concatenate(
+                    [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+
+            out = dict(batch)
+            out['n_real'] = n_real
+            out['input'] = _pad(batch['input'])
+            out['target'] = np.ascontiguousarray(
+                _pad(batch['target'][..., :3]), np.float32)
+            out['valid_depth'] = _pad(np.asarray(batch['valid_depth'], np.int32))
+            mask_np = np.array(_pad(batch['joint_mask']), np.float32)
+            if pad:
+                # padding rows must not contribute to the masked mean loss
+                mask_np[n_real:] = 0
+            out['joint_mask'] = mask_np
+            yield out
+
+    return device_prefetch(
+        padded(), fields=('input', 'target', 'joint_mask', 'valid_depth'))
+
+
 def obtain_predictions(forward, loader, known_depth=False,
                        print_progress=False, multicrop=False, batch_size=1):
     """(reference: src/margipose/bin/eval_3d.py:48-94)
@@ -62,37 +103,22 @@ def obtain_predictions(forward, loader, known_depth=False,
     otherwise yields one prediction per example, so ``batch_size`` > 1
     amortises the per-dispatch cost on TPU. Short tail batches are padded to
     ``batch_size`` to keep a single compiled shape."""
-    iterable = loader
+    iterable = _padded_device_batches(loader, multicrop, batch_size)
     if print_progress:
         try:
             from tqdm import tqdm
 
-            iterable = tqdm(loader, leave=True, ascii=True)
+            iterable = tqdm(iterable, total=len(loader), leave=True, ascii=True)
         except ImportError:
             pass
 
     timed_batches = 0
     for batch in iterable:
-        import jax.numpy as jnp
-
-        n_real = int(np.asarray(batch['valid_depth']).shape[0])
-        pad = 0 if multicrop else max(batch_size - n_real, 0)
-
-        def _pad(arr):
-            arr = np.asarray(arr)
-            if pad == 0:
-                return arr
-            return np.concatenate(
-                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
-
-        in_var = jnp.asarray(_pad(batch['input']))
-        target = jnp.asarray(_pad(batch['target'][..., :3]))
-        valid_depth = jnp.asarray(_pad(np.asarray(batch['valid_depth'], np.int32)))
-        mask_np = _pad(batch['joint_mask'])
-        if pad:
-            # padding rows must not contribute to the masked mean loss
-            mask_np[n_real:] = 0
-        mask = jnp.asarray(mask_np)
+        n_real = batch['n_real']
+        in_var = batch['input']
+        target = batch['target']
+        valid_depth = batch['valid_depth']
+        mask = batch['joint_mask']
 
         inference_time = None
         if timed_batches < 3:
