@@ -230,17 +230,14 @@ def main():
         "metric": "margipose_infer_images_per_sec_per_chip_256px",
         "value": round(infer_ips, 2),
         "unit": "images/sec/chip",
+        # baseline re-recorded in round 3 under the corrected FIFO timing
+        # (bench_baseline.json), so this is a clean same-methodology ratio
         "vs_baseline": round(vs_baseline, 4),
         "precision": headline_prec,
         "batch": headline_batch,
         "mfu": round(mfu, 4) if mfu else None,
         "train_images_per_sec": round(
             train_ips.get(headline_prec, train_ips.get("float32", 0.0)), 2),
-        # the round-1 baseline was recorded with a biased read-latency
-        # calibration (~8-12% optimistic; BASELINE.md "Timing-bias
-        # correction"), so vs_baseline understates true round-over-round
-        # gains by that factor
-        "baseline_note": "r1 baseline ~8-12% inflated (see BASELINE.md)",
     }), flush=True)
 
 
