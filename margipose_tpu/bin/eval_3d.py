@@ -54,16 +54,32 @@ def parse_args(argv):
                              'transfer pump and INCREASE wall time (measured '
                              '~1.8x, BASELINE.md); set 2-4 on multi-core '
                              'TPU-VM hosts')
+    parser.add_argument('--ship', type=str, default='uint8',
+                        choices=['uint8', 'float32'],
+                        help='input transfer encoding: uint8 re-quantises '
+                             'the normalised input back to its exact source '
+                             'pixels (lossless, 4x fewer bytes) and '
+                             're-normalises on device; float32 ships the '
+                             'host-normalised tensor as-is')
     return parser.parse_args(argv[1:])
 
 
-def _padded_device_batches(loader, multicrop, batch_size):
+def requantize_input(inp, mean, std):
+    """Invert ImageSpecs normalisation back to the source uint8 pixels
+    (lossless — see ImageSpecs.requantize, data/specs.py)."""
+    from margipose_tpu.data.specs import ImageSpecs
+
+    return ImageSpecs(1, mean=mean, stddev=std).requantize(inp)
+
+
+def _padded_device_batches(loader, multicrop, batch_size, input_specs=None):
     """Pad tail batches host-side, then pipeline the host->device transfers.
 
     Padding to one static shape keeps a single compiled executable; routing
     through ``device_prefetch`` keeps ``depth`` transfers in flight so the
     (relay-expensive) input upload of batch k+1 overlaps batch k's forward
-    instead of serialising with it."""
+    instead of serialising with it. With ``input_specs`` given, inputs ship
+    as uint8 (see ``requantize_input``) and are re-normalised on device."""
 
     def padded():
         for batch in loader:
@@ -79,7 +95,10 @@ def _padded_device_batches(loader, multicrop, batch_size):
 
             out = dict(batch)
             out['n_real'] = n_real
-            out['input'] = _pad(batch['input'])
+            inp = _pad(batch['input'])
+            if input_specs is not None:
+                inp = requantize_input(inp, input_specs.mean, input_specs.stddev)
+            out['input'] = inp
             out['target'] = np.ascontiguousarray(
                 _pad(batch['target'][..., :3]), np.float32)
             out['valid_depth'] = _pad(np.asarray(batch['valid_depth'], np.int32))
@@ -95,7 +114,8 @@ def _padded_device_batches(loader, multicrop, batch_size):
 
 
 def obtain_predictions(forward, loader, known_depth=False,
-                       print_progress=False, multicrop=False, batch_size=1):
+                       print_progress=False, multicrop=False, batch_size=1,
+                       ship_specs=None):
     """(reference: src/margipose/bin/eval_3d.py:48-94)
 
     With ``multicrop`` each loader item is one example's 10-crop batch and
@@ -103,7 +123,8 @@ def obtain_predictions(forward, loader, known_depth=False,
     otherwise yields one prediction per example, so ``batch_size`` > 1
     amortises the per-dispatch cost on TPU. Short tail batches are padded to
     ``batch_size`` to keep a single compiled shape."""
-    iterable = _padded_device_batches(loader, multicrop, batch_size)
+    iterable = _padded_device_batches(loader, multicrop, batch_size,
+                                      input_specs=ship_specs)
     if print_progress:
         try:
             from tqdm import tqdm
@@ -190,7 +211,7 @@ def obtain_predictions(forward, loader, known_depth=False,
 
 def run_evaluation_3d(forward, loader, included_joints,
                       known_depth=False, print_progress=False,
-                      multicrop=False, batch_size=1):
+                      multicrop=False, batch_size=1, ship_specs=None):
     """(reference: src/margipose/bin/eval_3d.py:97-118)"""
     loss_meter = MeanValueMeter()
     time_meter = MedianValueMeter()
@@ -199,7 +220,8 @@ def run_evaluation_3d(forward, loader, included_joints,
 
     for pred in obtain_predictions(forward, loader, known_depth,
                                    print_progress, multicrop=multicrop,
-                                   batch_size=batch_size):
+                                   batch_size=batch_size,
+                                   ship_specs=ship_specs):
         if pred['inference_time'] is not None:
             time_meter.add(pred['inference_time'])
         if pred['loss'] is not None:
@@ -261,8 +283,21 @@ def main(argv, common_opts):
 
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
 
+    # inputs ship as uint8 (lossless — see requantize_input) and are
+    # normalised on device: 4x fewer host->device bytes per batch
+    ship_specs = (dataset.data_specs.input_specs
+                  if args.ship == 'uint8' else None)
+    norm_mean = jnp.asarray(
+        ship_specs.mean if ship_specs is not None and ship_specs.mean is not None
+        else 0.0, jnp.float32)
+    norm_std = jnp.asarray(
+        ship_specs.stddev if ship_specs is not None and ship_specs.stddev is not None
+        else 1.0, jnp.float32)
+
     @jax.jit
     def jitted(images, target, mask, valid_depth):
+        if images.dtype == jnp.uint8:
+            images = (images.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
         with compute_dtype_scope(compute_dtype):
             xyz, out = model.apply(
                 variables, images.astype(compute_dtype or images.dtype),
@@ -278,7 +313,8 @@ def main(argv, common_opts):
     df, stats = run_evaluation_3d(forward, loader, included_joints,
                                   known_depth=known_depth, print_progress=True,
                                   multicrop=args.multicrop,
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  ship_specs=ship_specs)
 
     print('### By sequence\n')
     _print_table(df.drop(columns=['activity_id']).groupby('seq_id').mean())

@@ -36,6 +36,26 @@ class ImageSpecs:
             arr = arr / np.asarray(self.stddev, dtype=np.float32)
         return arr
 
+    def requantize(self, arr: np.ndarray) -> np.ndarray:
+        """Invert ``convert`` back to the EXACT source uint8 pixels.
+
+        Every host pipeline path materialises a uint8 image immediately
+        before ``convert`` (the fused native warp rounds to uint8 at
+        geometry/transforms.py:162 to match PIL's behaviour), so the
+        normalised input is always ``(u/255 - mean)/std`` of integer pixel
+        values and ``round((x*std + mean)*255)`` recovers u exactly
+        (float32 round-trip error ~1e-5 << the 0.5 rounding threshold).
+        Shipping uint8 to the device is therefore lossless versus shipping
+        the float32 input while moving 4x fewer bytes; re-normalise on
+        device with ``(u/255 - mean)/std``."""
+        arr = np.asarray(arr, np.float32)
+        mean = np.asarray(self.mean if self.mean is not None else 0.0,
+                          np.float32)
+        std = np.asarray(self.stddev if self.stddev is not None else 1.0,
+                         np.float32)
+        return np.clip(np.rint((arr * std + mean) * 255.0), 0, 255).astype(
+            np.uint8)
+
     def unconvert(self, arr: np.ndarray) -> PIL.Image.Image:
         """Normalised HWC array -> PIL image."""
         arr = np.asarray(arr, dtype=np.float32)

@@ -111,6 +111,24 @@ def test_gui_html_export(trained_ckpt, tmp_path):
     assert html.count('class="aligned"') >= 2  # metrics + aligned 3D pane
 
 
+def test_eval_uint8_shipping_is_lossless():
+    """requantize_input must recover the exact source uint8 pixels from a
+    normalised input, and device-side re-normalisation must reproduce the
+    float32 input (4x transfer saving at zero numeric cost)."""
+    from margipose_tpu.bin.eval_3d import requantize_input
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    ds = SyntheticPoseDataset(length=1, use_aug=False)
+    s = ds[0]
+    spec = ds.data_specs.input_specs
+    u8 = requantize_input(s['input'], spec.mean, spec.stddev)
+    assert u8.dtype == np.uint8
+    renorm = ((u8.astype(np.float32) / 255.0
+               - np.asarray(spec.mean, np.float32))
+              / np.asarray(spec.stddev, np.float32))
+    np.testing.assert_allclose(renorm, s['input'], atol=3e-6)
+
+
 def test_config_parsing():
     from margipose_tpu.bin.train_3d import ex
 
