@@ -61,6 +61,13 @@ def parse_args(argv):
                              'pixels (lossless, 4x fewer bytes) and '
                              're-normalises on device; float32 ships the '
                              'host-normalised tensor as-is')
+    parser.add_argument('--num-devices', type=int, metavar='N', default=1,
+                        help='data-parallel evaluation: shard each batch '
+                             'over N local devices (0 = all) on a pure-data '
+                             'jax.sharding.Mesh; weights are replicated and '
+                             'GSPMD partitions the forward. batch-size must '
+                             'be divisible by N. Incompatible with '
+                             '--multicrop (10-crop items are one example)')
     return parser.parse_args(argv[1:])
 
 
@@ -72,7 +79,8 @@ def requantize_input(inp, mean, std):
     return ImageSpecs(1, mean=mean, stddev=std).requantize(inp)
 
 
-def _padded_device_batches(loader, multicrop, batch_size, input_specs=None):
+def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
+                           sharding=None):
     """Pad tail batches host-side, then pipeline the host->device transfers.
 
     Padding to one static shape keeps a single compiled executable; routing
@@ -110,12 +118,13 @@ def _padded_device_batches(loader, multicrop, batch_size, input_specs=None):
             yield out
 
     return device_prefetch(
-        padded(), fields=('input', 'target', 'joint_mask', 'valid_depth'))
+        padded(), sharding=sharding,
+        fields=('input', 'target', 'joint_mask', 'valid_depth'))
 
 
 def obtain_predictions(forward, loader, known_depth=False,
                        print_progress=False, multicrop=False, batch_size=1,
-                       ship_specs=None):
+                       ship_specs=None, sharding=None):
     """(reference: src/margipose/bin/eval_3d.py:48-94)
 
     With ``multicrop`` each loader item is one example's 10-crop batch and
@@ -124,7 +133,8 @@ def obtain_predictions(forward, loader, known_depth=False,
     amortises the per-dispatch cost on TPU. Short tail batches are padded to
     ``batch_size`` to keep a single compiled shape."""
     iterable = _padded_device_batches(loader, multicrop, batch_size,
-                                      input_specs=ship_specs)
+                                      input_specs=ship_specs,
+                                      sharding=sharding)
     if print_progress:
         try:
             from tqdm import tqdm
@@ -211,7 +221,8 @@ def obtain_predictions(forward, loader, known_depth=False,
 
 def run_evaluation_3d(forward, loader, included_joints,
                       known_depth=False, print_progress=False,
-                      multicrop=False, batch_size=1, ship_specs=None):
+                      multicrop=False, batch_size=1, ship_specs=None,
+                      sharding=None):
     """(reference: src/margipose/bin/eval_3d.py:97-118)"""
     loss_meter = MeanValueMeter()
     time_meter = MedianValueMeter()
@@ -221,7 +232,7 @@ def run_evaluation_3d(forward, loader, included_joints,
     for pred in obtain_predictions(forward, loader, known_depth,
                                    print_progress, multicrop=multicrop,
                                    batch_size=batch_size,
-                                   ship_specs=ship_specs):
+                                   ship_specs=ship_specs, sharding=sharding):
         if pred['inference_time'] is not None:
             time_meter.add(pred['inference_time'])
         if pred['loss'] is not None:
@@ -281,6 +292,24 @@ def main(argv, common_opts):
 
     compute_dtype = resolve_dtype(args.precision)
 
+    # Data-parallel evaluation (SURVEY §2.3 scaling layer — the reference is
+    # single-GPU): batches shard over a pure-data mesh, weights replicate,
+    # and GSPMD partitions the jitted forward. Per-chip throughput is the
+    # single-device number; wall time divides by N.
+    eval_sharding = None
+    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        from margipose_tpu.parallel import make_mesh
+        from margipose_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        assert not args.multicrop, '--num-devices > 1 requires batched mode'
+        assert args.batch_size % n_dev == 0, (
+            f'--batch-size {args.batch_size} must divide over {n_dev} devices')
+        mesh = make_mesh(jax.devices()[:n_dev], shape=(n_dev, 1))
+        eval_sharding = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        print(f'Data-parallel eval over {n_dev} devices')
+
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
 
     # inputs ship as uint8 (lossless — see requantize_input) and are
@@ -314,7 +343,8 @@ def main(argv, common_opts):
                                   known_depth=known_depth, print_progress=True,
                                   multicrop=args.multicrop,
                                   batch_size=args.batch_size,
-                                  ship_specs=ship_specs)
+                                  ship_specs=ship_specs,
+                                  sharding=eval_sharding)
 
     print('### By sequence\n')
     _print_table(df.drop(columns=['activity_id']).groupby('seq_id').mean())

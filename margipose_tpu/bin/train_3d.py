@@ -127,6 +127,17 @@ ex.add_config(
                                # running step, larger overlaps more
                                # (BASELINE.md train-step attribution
                                # experiment)
+    ship='uint8',              # host-aug input transfer encoding: 'uint8'
+                               # re-quantises the normalised input back to
+                               # its exact source pixels before the
+                               # host->device transfer (lossless — every
+                               # host path rounds to uint8 right before
+                               # normalising; ImageSpecs.requantize) and
+                               # re-normalises on device, moving 4x fewer
+                               # bytes per batch; 'float32' ships the
+                               # host-normalised tensor as-is. Ignored
+                               # under device_aug (raw frames already ship
+                               # as uint8).
 )
 
 
@@ -269,6 +280,29 @@ def run_training(cfg: dict) -> dict:
             return device_augment(x, affine, h, w, colour[:, 0], colour[:, 1],
                                   colour[:, 2], colour[:, 3], aug_mean, aug_std)
 
+    ship_specs = None
+    renorm_step = None
+    if not cfg.get('device_aug') and cfg.get('ship', 'uint8') == 'uint8':
+        # Host-aug inputs ship as their exact source uint8 pixels (lossless
+        # — ImageSpecs.requantize) and are re-normalised on device: 4x
+        # fewer host->device bytes per batch. device_aug mode already ships
+        # raw uint8 frames, so this applies to the host-warped path only.
+        import jax.numpy as jnp
+
+        ship_specs = data_specs.input_specs
+        _mean = jnp.asarray(
+            ship_specs.mean if ship_specs.mean is not None else 0.0,
+            jnp.float32)
+        _std = jnp.asarray(
+            ship_specs.stddev if ship_specs.stddev is not None else 1.0,
+            jnp.float32)
+
+        @jax.jit
+        def renorm_step(u8):
+            # uint8 [B,H,W,3] (batch-sharded) -> normalised float32 input;
+            # GSPMD keeps the output batch-sharded.
+            return (u8.astype(jnp.float32) / 255.0 - _mean) / _std
+
     # ---- Reporting ----
     tel = make_train_reporter(with_val=val_loader is not None, out_dir=exp_out_dir)
     if exp_out_dir:
@@ -287,9 +321,11 @@ def run_training(cfg: dict) -> dict:
         print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
 
         state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
-                                 data_sharding, exp_out_dir, aug_step=aug_step)
+                                 data_sharding, exp_out_dir, aug_step=aug_step,
+                                 ship_specs=ship_specs, renorm_step=renorm_step)
         if val_loader is not None:
-            do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding)
+            do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding,
+                               ship_specs=ship_specs, renorm_step=renorm_step)
 
         result = {
             'train_pck': tel['train_pck'].value(),
@@ -321,14 +357,16 @@ def _host_metrics(batch, dataset, preds, tel, prefix):
 
 
 def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
-                     exp_out_dir, aug_step=None):
+                     exp_out_dir, aug_step=None, ship_specs=None,
+                     renorm_step=None):
     import time
 
     import jax.numpy as jnp
 
     vis_done = False
     batch_iter = device_prefetch(iter(loader), sharding=data_sharding,
-                                 depth=cfg.get('prefetch_depth', 2))
+                                 depth=cfg.get('prefetch_depth', 2),
+                                 requantize=ship_specs)
     i = 0
     profile_steps = cfg.get('profile_steps', 0)
     profiling = False
@@ -380,6 +418,9 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             # the previous train step like any other device work).
             batch['input'] = aug_step(batch['raw_image'], batch['aug_affine'],
                                       batch['aug_colour'])
+        elif renorm_step is not None:
+            # uint8-shipped input -> normalised float32 (enqueued async).
+            batch['input'] = renorm_step(batch['input'])
         device_batch = {
             'input': batch['input'],
             'target': batch['target'],
@@ -417,7 +458,8 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
     return state
 
 
-def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
+def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding,
+                       ship_specs=None, renorm_step=None):
     """Validation epoch with windowed device->host drains.
 
     Mirrors do_training_pass's drain machinery: losses AND predictions stay
@@ -435,7 +477,8 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
     from margipose_tpu.parallel import host_local_values
 
     batch_iter = device_prefetch(iter(loader), sharding=data_sharding,
-                                 depth=cfg.get('prefetch_depth', 2))
+                                 depth=cfg.get('prefetch_depth', 2),
+                                 requantize=ship_specs)
     pending = []  # [(loss_dev, pred_dev, host_batch)] for the open window
 
     def drain_window():
@@ -457,6 +500,8 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding):
         pending.clear()
 
     for batch in batch_iter:
+        if renorm_step is not None:
+            batch['input'] = renorm_step(batch['input'])
         device_batch = {
             'input': batch['input'],
             'target': batch['target'],

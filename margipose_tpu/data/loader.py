@@ -126,13 +126,19 @@ def make_unbatched_dataloader(dataset, num_workers=0):
     return UnbatchedDataLoader(dataset, num_workers=num_workers)
 
 
-def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):
+def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2,
+                    requantize=None):
     """Move array fields of each batch onto device(s) ahead of consumption.
 
     Yields batches whose ``fields`` are jax Arrays (placed with ``sharding``
     if given) while keeping ``depth`` transfers in flight. On a multi-process
     runtime each process feeds its local rows of the global batch and the
     global array is assembled via ``put_batch_array`` (SURVEY.md §5.8).
+
+    With ``requantize`` (an ImageSpecs), a float32 ``'input'`` field is
+    losslessly re-quantised to its exact source uint8 pixels before the
+    transfer (ImageSpecs.requantize — 4x fewer host->device bytes); the
+    consumer re-normalises on device.
     """
     import jax
     import numpy as np
@@ -146,6 +152,10 @@ def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2):
             # consumers (evaluate_3d_batch) take their own one-shot host
             # copy via host_local_values rather than reading back per row
             out['valid_depth'] = np.asarray(out['valid_depth'], np.int32)
+        if requantize is not None and 'input' in out:
+            inp = np.asarray(out['input'])
+            if inp.dtype == np.float32:
+                out['input'] = requantize.requantize(inp)
         for f in fields:
             if f in out:
                 arr = np.asarray(out[f])

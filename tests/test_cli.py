@@ -280,6 +280,30 @@ def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
     assert abs(m1 - m4) < 1e-3, (m1, m4)
 
 
+def test_eval_cli_data_parallel_matches_single_device(trained_ckpt, capsys):
+    """--num-devices N shards eval batches over a pure-data mesh (weights
+    replicated, GSPMD-partitioned forward) without changing metrics — run
+    on the conftest-forced 8-device virtual CPU mesh."""
+    import jax
+
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    assert len(jax.devices()) >= 8
+
+    def overall_mpjpe(args):
+        eval_main(args, {'device': 'auto'})
+        out = capsys.readouterr().out
+        table = out.split('### Overall')[1]
+        row = [ln for ln in table.splitlines() if ln.startswith('|  0')][0]
+        return float(row.split('|')[-3])
+
+    base = ['eval', '--model', trained_ckpt, '--dataset', 'synthetic-10',
+            '--batch-size', '8']
+    m1 = overall_mpjpe(base)
+    m8 = overall_mpjpe(base + ['--num-devices', '8'])
+    assert abs(m1 - m8) < 1e-3, (m1, m8)
+
+
 def test_train_cli_pretrained_stem(tmp_path, capsys):
     """`pretrained_stem=<path>` starts fresh training from an ImageNet
     backbone state_dict, like the reference's implicit pretrained download

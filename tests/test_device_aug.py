@@ -85,6 +85,26 @@ def test_device_prefetch_ships_raw_fields():
     assert isinstance(batch['aug_affine'], jax.Array)
 
 
+def test_device_prefetch_uint8_ship_roundtrip():
+    """device_prefetch(requantize=specs) ships host-warped inputs as their
+    exact source uint8 pixels, and device-side re-normalisation reproduces
+    the float32 input (lossless: the host pipeline rounds to uint8
+    immediately before normalising — ImageSpecs.requantize)."""
+    ds = SyntheticPoseDataset(length=4, use_aug=True, seed=7, image_size=64)
+    loader = make_dataloader(ds, batch_size=2)
+    spec = ds.data_specs.input_specs
+    batches = list(loader)
+    ref = np.asarray(batches[0]['input'], np.float32).copy()
+
+    out = next(device_prefetch(iter(batches), requantize=spec))
+    assert out['input'].dtype == jnp.uint8
+    mean = np.asarray(spec.mean if spec.mean is not None else 0.0, np.float32)
+    std = np.asarray(spec.stddev if spec.stddev is not None else 1.0,
+                     np.float32)
+    renorm = (np.asarray(out['input'], np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(renorm, ref, atol=3e-6)
+
+
 def test_device_aug_mpii_letterbox_pad_matches_host(tmp_path):
     """Variable-size source SMALLER than the canvas: pad-only letterboxing is
     parity-exact with the host warp (the pad zeros equal the host warp's

@@ -62,6 +62,35 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 15
 
 
+def test_uint8_ship_training_matches_float32():
+    """End-to-end run_training parity: ship='uint8' (lossless requantised
+    inputs, re-normalised on device) must train identically to
+    ship='float32' — same seeds, same data, same number of steps."""
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    argv = [
+        'with', 'synthetic', 'sgd_simple',
+        'out_dir=', 'epochs=1', 'batch_size=8', 'train_examples=16',
+        'val_examples=8', 'lr=0.02', 'num_workers=0', 'metrics_every=1',
+        'use_aug=True',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-16"]', 'val_datasets=["synthetic-8"]',
+    ]
+    r_u8 = run_training(ex.parse(argv + ['ship=uint8']))
+    r_f32 = run_training(ex.parse(argv + ['ship=float32']))
+    # The uint8 round-trip is exactly lossless at the pixel level (see
+    # test_device_prefetch_uint8_ship_roundtrip for the strict check); the
+    # device-vs-host normalisation arithmetic differs in the last ulp and
+    # two SGD steps amplify that (measured ~0.15% here), so this end-to-end
+    # check only pins "trains identically to noise", not bitwise equality.
+    np.testing.assert_allclose(r_u8['train_mpjpe'], r_f32['train_mpjpe'],
+                               rtol=2e-2)
+    np.testing.assert_allclose(r_u8['train_pck'], r_f32['train_pck'],
+                               atol=2e-2)
+
+
 def test_eval_step_runs():
     model = small_model()
     opt = optax.sgd(0.1)
