@@ -41,6 +41,35 @@ def trained_ckpt(tmp_path_factory):
     return ckpt_dir
 
 
+def test_chatterbox_train_eval_cli(tmp_path, capsys):
+    """End-to-end train + eval through the product surface for the SECOND
+    model family: `train with chatterbox_model` then `eval` on the saved
+    checkpoint. Chatterbox requires 256px input (its down/up head geometry
+    hardcodes 32x32 heatmaps — reference:
+    src/margipose/models/chatterbox_model.py:86-220), so this uses a
+    minimal 1-batch epoch to bound CPU compile+run time."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+    from margipose_tpu.bin.train_3d import ex, run_training
+
+    out_dir = str(tmp_path / 'cb')
+    cfg = ex.parse([
+        'with', 'synthetic', 'sgd_simple', 'chatterbox_model',
+        f'out_dir={out_dir}', 'epochs=1', 'batch_size=8',
+        'train_examples=8', 'val_examples=0', 'lr=0.02',
+        'num_workers=0', 'metrics_every=1', 'experiment_id=cb',
+        'train_datasets=["synthetic-8"]', 'val_datasets=[]',
+        'use_aug=False',
+    ])
+    result = run_training(cfg)
+    assert np.isfinite(result['train_mpjpe'])
+    ckpt = path.join(out_dir, 'cb', 'model-latest')
+
+    eval_main(['eval', '--model', ckpt, '--dataset', 'synthetic-2',
+               '--batch-size', '2'], {'device': 'auto'})
+    out = capsys.readouterr().out
+    assert 'Overall' in out and 'median inference time' in out
+
+
 def test_train_and_checkpoint(trained_ckpt):
     from margipose_tpu.train.checkpoint import load_meta
 
