@@ -17,6 +17,7 @@ from margipose_tpu.data.loader import (
     make_dataloader,
     make_unbatched_dataloader,
 )
+from margipose_tpu.data.specs import device_renormalize
 from margipose_tpu.eval import gather_3d_metrics, prepare_for_3d_evaluation
 from margipose_tpu.geometry.coords import ensure_homogeneous
 from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc, VNect_Common_Skeleton
@@ -71,14 +72,6 @@ def parse_args(argv):
     return parser.parse_args(argv[1:])
 
 
-def requantize_input(inp, mean, std):
-    """Invert ImageSpecs normalisation back to the source uint8 pixels
-    (lossless — see ImageSpecs.requantize, data/specs.py)."""
-    from margipose_tpu.data.specs import ImageSpecs
-
-    return ImageSpecs(1, mean=mean, stddev=std).requantize(inp)
-
-
 def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
                            sharding=None):
     """Pad tail batches host-side, then pipeline the host->device transfers.
@@ -87,7 +80,8 @@ def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
     through ``device_prefetch`` keeps ``depth`` transfers in flight so the
     (relay-expensive) input upload of batch k+1 overlaps batch k's forward
     instead of serialising with it. With ``input_specs`` given, inputs ship
-    as uint8 (see ``requantize_input``) and are re-normalised on device."""
+    as uint8 (lossless — ``ImageSpecs.requantize``) and are re-normalised on
+    device (``specs.device_renormalize``)."""
 
     def padded():
         for batch in loader:
@@ -105,7 +99,7 @@ def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
             out['n_real'] = n_real
             inp = _pad(batch['input'])
             if input_specs is not None:
-                inp = requantize_input(inp, input_specs.mean, input_specs.stddev)
+                inp = input_specs.requantize(inp)
             out['input'] = inp
             out['target'] = np.ascontiguousarray(
                 _pad(batch['target'][..., :3]), np.float32)
@@ -302,9 +296,16 @@ def main(argv, common_opts):
         from margipose_tpu.parallel import make_mesh
         from margipose_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-        assert not args.multicrop, '--num-devices > 1 requires batched mode'
-        assert args.batch_size % n_dev == 0, (
-            f'--batch-size {args.batch_size} must divide over {n_dev} devices')
+        # real argument errors, not asserts: `python -O` strips asserts and
+        # the failure modes downstream are cryptic GSPMD sharding errors
+        if args.multicrop:
+            raise SystemExit(
+                'eval: --num-devices > 1 requires batched mode; --multicrop '
+                'items are one example and cannot shard over devices')
+        if args.batch_size % n_dev != 0:
+            raise SystemExit(
+                f'eval: --batch-size {args.batch_size} must be divisible by '
+                f'--num-devices {n_dev}')
         mesh = make_mesh(jax.devices()[:n_dev], shape=(n_dev, 1))
         eval_sharding = batch_sharding(mesh)
         variables = jax.device_put(variables, replicated_sharding(mesh))
@@ -312,21 +313,15 @@ def main(argv, common_opts):
 
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
 
-    # inputs ship as uint8 (lossless — see requantize_input) and are
+    # inputs ship as uint8 (lossless — ImageSpecs.requantize) and are
     # normalised on device: 4x fewer host->device bytes per batch
     ship_specs = (dataset.data_specs.input_specs
                   if args.ship == 'uint8' else None)
-    norm_mean = jnp.asarray(
-        ship_specs.mean if ship_specs is not None and ship_specs.mean is not None
-        else 0.0, jnp.float32)
-    norm_std = jnp.asarray(
-        ship_specs.stddev if ship_specs is not None and ship_specs.stddev is not None
-        else 1.0, jnp.float32)
 
     @jax.jit
     def jitted(images, target, mask, valid_depth):
         if images.dtype == jnp.uint8:
-            images = (images.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
+            images = device_renormalize(images, ship_specs)
         with compute_dtype_scope(compute_dtype):
             xyz, out = model.apply(
                 variables, images.astype(compute_dtype or images.dtype),

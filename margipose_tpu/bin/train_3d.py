@@ -287,21 +287,15 @@ def run_training(cfg: dict) -> dict:
         # — ImageSpecs.requantize) and are re-normalised on device: 4x
         # fewer host->device bytes per batch. device_aug mode already ships
         # raw uint8 frames, so this applies to the host-warped path only.
-        import jax.numpy as jnp
+        from margipose_tpu.data.specs import device_renormalize
 
         ship_specs = data_specs.input_specs
-        _mean = jnp.asarray(
-            ship_specs.mean if ship_specs.mean is not None else 0.0,
-            jnp.float32)
-        _std = jnp.asarray(
-            ship_specs.stddev if ship_specs.stddev is not None else 1.0,
-            jnp.float32)
 
         @jax.jit
         def renorm_step(u8):
             # uint8 [B,H,W,3] (batch-sharded) -> normalised float32 input;
             # GSPMD keeps the output batch-sharded.
-            return (u8.astype(jnp.float32) / 255.0 - _mean) / _std
+            return device_renormalize(u8, ship_specs)
 
     # ---- Reporting ----
     tel = make_train_reporter(with_val=val_loader is not None, out_dir=exp_out_dir)
@@ -509,7 +503,15 @@ def do_validation_pass(cfg, state, eval_step, tel, loader, data_sharding,
             'valid_depth': batch['valid_depth'],  # int32 device array (loader)
         }
         metrics = eval_step(state.params, state.batch_stats, device_batch)
-        pending.append((metrics['loss'], metrics['pred'], batch))
+        # keep only the host-side metadata the drained metrics need — holding
+        # the full batch would pin the device input/target arrays in HBM for
+        # the whole metrics_every window (~25 MB/batch at 32x256px)
+        host_keep = ('index', 'original_skel', 'camera_intrinsic',
+                     'transform_opts', 'valid_depth_host')
+        host_batch = {k: batch[k] for k in host_keep if k in batch}
+        if 'valid_depth_host' not in host_batch:
+            host_batch['valid_depth'] = batch['valid_depth']
+        pending.append((metrics['loss'], metrics['pred'], host_batch))
         if len(pending) >= cfg['metrics_every']:
             drain_window()
     drain_window()

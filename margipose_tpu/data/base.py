@@ -212,13 +212,18 @@ class PoseDataset(ABC):
 
     def evaluate_3d_batch(self, batch, norm_preds):
         """(reference: src/margipose/data/__init__.py:135-146)"""
-        # one host-side copy of valid_depth up front: it may be a (sharded)
-        # device array after loader prefetch, and element-indexing it would
-        # be a blocking readback per row — or an error on multi-process
-        # meshes where the global array is not fully addressable
-        from margipose_tpu.parallel.mesh import host_local_values
+        # device_prefetch leaves a host copy on the batch
+        # ('valid_depth_host'); fall back to one host-side copy up front —
+        # 'valid_depth' may be a (sharded) device array after loader
+        # prefetch, and element-indexing it would be a blocking readback per
+        # row, or an error on multi-process meshes where the global array is
+        # not fully addressable
+        if 'valid_depth_host' in batch:
+            valid_depth = np.asarray(batch['valid_depth_host'])
+        else:
+            from margipose_tpu.parallel.mesh import host_local_values
 
-        valid_depth = np.asarray(host_local_values(batch['valid_depth']))
+            valid_depth = np.asarray(host_local_values(batch['valid_depth']))
         return [
             self._evaluate_3d(
                 batch['index'][i],

@@ -148,10 +148,11 @@ def device_prefetch(batch_iter, sharding=None, fields=DEVICE_FIELDS, depth=2,
     def ship(batch):
         out = dict(batch)
         if 'valid_depth' in out:
-            # normalise dtype before the device transfer below; host-side
-            # consumers (evaluate_3d_batch) take their own one-shot host
-            # copy via host_local_values rather than reading back per row
+            # normalise dtype before the device transfer below, and keep the
+            # host copy on the batch: evaluate_3d_batch prefers it, saving a
+            # ~29 ms relay readback per batch on remote runtimes
             out['valid_depth'] = np.asarray(out['valid_depth'], np.int32)
+            out['valid_depth_host'] = out['valid_depth']
         if requantize is not None and 'input' in out:
             inp = np.asarray(out['input'])
             if inp.dtype == np.float32:

@@ -67,6 +67,24 @@ class ImageSpecs:
         return PIL.Image.fromarray(arr, "RGB")
 
 
+def device_renormalize(images, specs: "ImageSpecs | None"):
+    """Device-side inverse of ``ImageSpecs.requantize``: uint8 pixels ->
+    normalised float32, ``(u/255 - mean)/std``.
+
+    Jit-traceable; the single definition keeps every uint8-shipping path
+    (train, eval, infer, tests) numerically identical to host-side
+    ``convert``. ``specs`` may be None (identity normalisation)."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(
+        specs.mean if specs is not None and specs.mean is not None else 0.0,
+        jnp.float32)
+    std = jnp.asarray(
+        specs.stddev if specs is not None and specs.stddev is not None
+        else 1.0, jnp.float32)
+    return (images.astype(jnp.float32) / 255.0 - mean) / std
+
+
 class JointsSpecs:
     def __init__(self, skeleton_desc, n_dims: int = 3):
         self.skeleton_desc = skeleton_desc

@@ -141,6 +141,7 @@ class BatchNorm(nn.Module):
             # name matches nn.BatchNorm's auto-assigned child scope so the
             # param/stat tree is identical in both modes
             return _Bf16StatsBN(self.epsilon, self.momentum,
+                                axis_name=self.axis_name,
                                 name='BatchNorm_0')(x)
         # Under a bf16 compute scope, pass dtype so the normalized output is
         # cast back to bf16 (otherwise the f32 running stats / scale promote
@@ -162,6 +163,7 @@ class _Bf16StatsBN(nn.Module):
 
     epsilon: float
     momentum: float
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -177,7 +179,12 @@ class _Bf16StatsBN(nn.Module):
         mean_b = jnp.mean(xb, axes)                    # bf16-output reduce
         meansq_b = jnp.mean(jax.lax.square(xb), axes)  # bf16-output reduce
         mean = mean_b.astype(jnp.float32)
-        var = jnp.maximum(meansq_b.astype(jnp.float32) - jnp.square(mean), 0.0)
+        meansq = meansq_b.astype(jnp.float32)
+        if self.axis_name is not None:
+            # match nn.BatchNorm(axis_name=...): stats over the GLOBAL batch
+            mean = jax.lax.pmean(mean, self.axis_name)
+            meansq = jax.lax.pmean(meansq, self.axis_name)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         if not self.is_initializing():
             m = 1.0 - self.momentum  # flax-convention EMA factor (0.9)
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean

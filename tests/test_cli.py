@@ -141,20 +141,21 @@ def test_gui_html_export(trained_ckpt, tmp_path):
 
 
 def test_eval_uint8_shipping_is_lossless():
-    """requantize_input must recover the exact source uint8 pixels from a
-    normalised input, and device-side re-normalisation must reproduce the
-    float32 input (4x transfer saving at zero numeric cost)."""
-    from margipose_tpu.bin.eval_3d import requantize_input
+    """ImageSpecs.requantize must recover the exact source uint8 pixels from
+    a normalised input, and device_renormalize (the single device-side
+    inverse every uint8-shipping path uses) must reproduce the float32 input
+    (4x transfer saving at zero numeric cost)."""
+    import jax.numpy as jnp
+
+    from margipose_tpu.data.specs import device_renormalize
     from margipose_tpu.data.synthetic import SyntheticPoseDataset
 
     ds = SyntheticPoseDataset(length=1, use_aug=False)
     s = ds[0]
     spec = ds.data_specs.input_specs
-    u8 = requantize_input(s['input'], spec.mean, spec.stddev)
+    u8 = spec.requantize(s['input'])
     assert u8.dtype == np.uint8
-    renorm = ((u8.astype(np.float32) / 255.0
-               - np.asarray(spec.mean, np.float32))
-              / np.asarray(spec.stddev, np.float32))
+    renorm = np.asarray(device_renormalize(jnp.asarray(u8), spec))
     np.testing.assert_allclose(renorm, s['input'], atol=3e-6)
 
 

@@ -120,3 +120,28 @@ def test_device_prefetch_casts_valid_depth_and_places_batches():
     assert isinstance(out[0]['input'], jax.Array)
     assert out[0]['valid_depth'].dtype == jnp.int32
     assert out[0]['index'] == list(range(8))
+    # the host copy rides along so evaluate_3d_batch never reads the device
+    # array back (one ~29 ms relay round-trip per batch on remote runtimes)
+    host_vd = out[0]['valid_depth_host']
+    assert isinstance(host_vd, np.ndarray) and host_vd.dtype == np.int32
+    np.testing.assert_array_equal(host_vd, np.ones(8, np.int32))
+
+
+def test_evaluate_3d_batch_prefers_host_valid_depth():
+    """evaluate_3d_batch must consume 'valid_depth_host' without touching
+    'valid_depth' (which may be a non-addressable sharded device array)."""
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    ds = SyntheticPoseDataset(length=4, use_aug=False)
+    samples = [ds[i] for i in range(4)]
+    batch = {
+        'index': [s['index'] for s in samples],
+        'original_skel': np.stack([s['original_skel'] for s in samples]),
+        'camera_intrinsic': [s['camera_intrinsic'] for s in samples],
+        'transform_opts': [s['transform_opts'] for s in samples],
+        'valid_depth_host': np.array([1, 0, 1, 1], np.int32),
+        'valid_depth': object(),  # would explode if touched
+    }
+    preds = np.stack([np.asarray(s['target'])[..., :3] for s in samples])
+    metrics = ds.evaluate_3d_batch(batch, preds.astype(np.float64))
+    assert len(metrics) == 3  # row 1 masked out via the host copy
