@@ -129,7 +129,12 @@ def calc_relative_scale(skeleton, ref_bone_lengths, joint_tree) -> float:
     if non_zero.sum() == 0:
         return 0.0
     ratio = np.asarray(ref_bone_lengths)[non_zero] / bone_lengths[non_zero]
-    return float(np.median(ratio))
+    # torch.median semantics: for an even count, the LOWER of the two middle
+    # values — not numpy's average. The count here is even in practice (the
+    # pelvis self-loop bone is masked out of the 17-joint tree), so this is
+    # parity-critical; caught by directly executing the reference's
+    # calc_relative_scale in tests/test_reference_parity.py.
+    return float(np.sort(ratio)[(ratio.size - 1) // 2])
 
 
 def bone_path_length(sph_rel_joints, joint_a, joint_b, joint_tree):

@@ -1,7 +1,6 @@
 """Parity tests that execute ACTUAL reference code, not a hand-built twin.
 
-Two reference modules are importable in this environment with torch/numpy
-alone (no pose3d_utils / pretrainedmodels / sacred):
+Four reference modules are executed directly in this environment:
 
 - ``/root/reference/src/margipose/dsntnn.py`` (torch only) — the numeric
   contract for DSNT soft-argmax, flat softmax, Gaussian rendering, and the
@@ -9,16 +8,24 @@ alone (no pose3d_utils / pretrainedmodels / sacred):
 - ``/root/reference/src/margipose/hyperparam_scheduler.py`` (numpy only) —
   the 1cycle hyperparameter interpolation
   (reference: src/margipose/hyperparam_scheduler.py:6-42).
+- ``/root/reference/src/margipose/eval.py`` and
+  ``/root/reference/src/margipose/data/skeleton.py`` (torch + scipy, plus a
+  3-line ``pose3d_utils.coords`` shim — see ``_pose3d_coords_shim``) — the
+  mpjpe/pck/auc metrics, Procrustes alignment, and skeleton algebra
+  (reference: src/margipose/eval.py:9-85, data/skeleton.py:78-260).
 
-These tests pin ``margipose_tpu.ops.dsnt`` and
-``margipose_tpu.train.schedules`` (and the torch twin's ``t_*`` helpers,
-which the full-model parity tests rest on) directly to the reference's own
-executable code on random inputs. If the reference checkout is absent the
-tests skip, mirroring the dataset-absence skip pattern.
+These tests pin ``margipose_tpu.ops.dsnt``, ``margipose_tpu.train.schedules``,
+``margipose_tpu.eval`` and ``margipose_tpu.geometry.skeleton`` (and the torch
+twin's ``t_*`` helpers, which the full-model parity tests rest on) directly
+to the reference's own executable code on random inputs. They caught a real
+divergence: torch.median's lower-middle-value convention in
+calc_relative_scale (see geometry/skeleton.py). If the reference checkout is
+absent the tests skip, mirroring the dataset-absence skip pattern.
 """
 
 import importlib.util
 import os
+import sys
 import types
 
 import numpy as np
@@ -37,6 +44,92 @@ def _load_reference_module(name):
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     return module
+
+
+def _pose3d_coords_shim():
+    """Minimal torch implementation of the three ``pose3d_utils.coords``
+    helpers the reference's eval.py / data/skeleton.py import. These are
+    3-line coordinate conversions (append/divide-out the homogeneous w);
+    everything of numeric substance in the modules under test (metrics,
+    Procrustes alignment, skeleton algebra) is the reference's OWN code.
+    """
+    m = types.ModuleType("pose3d_utils.coords")
+
+    def cartesian_to_homogeneous(cart):
+        return torch.cat([cart, torch.ones_like(cart[..., :1])], -1)
+
+    def homogeneous_to_cartesian(hom):
+        return hom[..., :-1] / hom[..., -1:]
+
+    def ensure_homogeneous(coords, d):
+        if coords.size(-1) == d + 1:
+            return coords
+        assert coords.size(-1) == d
+        return cartesian_to_homogeneous(coords)
+
+    def ensure_cartesian(coords, d):
+        if coords.size(-1) == d:
+            return coords
+        assert coords.size(-1) == d + 1
+        return homogeneous_to_cartesian(coords)
+
+    m.cartesian_to_homogeneous = cartesian_to_homogeneous
+    m.homogeneous_to_cartesian = homogeneous_to_cartesian
+    m.ensure_homogeneous = ensure_homogeneous
+    m.ensure_cartesian = ensure_cartesian
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    """Execute the ACTUAL reference ``eval.py`` and ``data/skeleton.py``.
+
+    Their import chains (`margipose.dsntnn`, `margipose.data.skeleton`,
+    `pose3d_utils.coords`) are satisfied by registering the reference's own
+    files under the package names they expect, plus the coords shim above —
+    no reference logic is substituted. Returns (ref_eval, ref_skeleton).
+    """
+    for name in ("eval", os.path.join("data", "skeleton")):
+        if not os.path.isfile(os.path.join(REFERENCE_SRC, name + ".py")):
+            pytest.skip("reference eval/skeleton modules not found")
+
+    saved = {k: sys.modules.get(k) for k in
+             ("pose3d_utils", "pose3d_utils.coords", "margipose",
+              "margipose.data", "margipose.data.skeleton",
+              "margipose.dsntnn", "margipose.eval")}
+    try:
+        p3u = types.ModuleType("pose3d_utils")
+        coords = _pose3d_coords_shim()
+        p3u.coords = coords
+        sys.modules["pose3d_utils"] = p3u
+        sys.modules["pose3d_utils.coords"] = coords
+
+        pkg = types.ModuleType("margipose")
+        pkg.__path__ = [REFERENCE_SRC]
+        sys.modules["margipose"] = pkg
+        data_pkg = types.ModuleType("margipose.data")
+        data_pkg.__path__ = [os.path.join(REFERENCE_SRC, "data")]
+        sys.modules["margipose.data"] = data_pkg
+
+        def load(mod_name, rel_path):
+            spec = importlib.util.spec_from_file_location(
+                mod_name, os.path.join(REFERENCE_SRC, rel_path))
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = module
+            spec.loader.exec_module(module)
+            return module
+
+        load("margipose.dsntnn", "dsntnn.py")
+        ref_skeleton = load("margipose.data.skeleton",
+                            os.path.join("data", "skeleton.py"))
+        ref_eval = load("margipose.eval", "eval.py")
+        yield ref_eval, ref_skeleton
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
 
 
 @pytest.fixture(scope="module")
@@ -206,3 +299,140 @@ def test_1cycle_values_match_reference(ref_sched, max_iters, lr_max, momentum):
         np.testing.assert_allclose(
             float(mom_fn(k)), ref_mom[k], rtol=1e-5, atol=1e-8,
             err_msg=f"momentum mismatch at batch {k}")
+
+
+# --------------------------------------------------------------------- #
+# Reference eval.py / data/skeleton.py — executed directly (see ref_pkg)
+# --------------------------------------------------------------------- #
+
+def _rand_skel(seed, n_joints=17, scale=250.0, d=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(scale=scale, size=(n_joints, d)).astype(np.float64)
+
+
+@pytest.mark.parametrize("included", [None, [0, 1, 4, 9, 16], list(range(14))])
+def test_metrics_match_reference_eval(ref_pkg, included):
+    """mpjpe / pck / auc pinned to the reference's own eval.py
+    (reference: src/margipose/eval.py:9-31)."""
+    ref_eval, _ = ref_pkg
+    import margipose_tpu.eval as ours
+
+    actual, expected = _rand_skel(10), _rand_skel(11)
+    ta, te = torch.from_numpy(actual), torch.from_numpy(expected)
+    np.testing.assert_allclose(
+        ours.mpjpe(actual, expected, included),
+        ref_eval.mpjpe(ta, te, included), rtol=1e-10)
+    np.testing.assert_allclose(
+        ours.pck(actual, expected, included),
+        ref_eval.pck(ta, te, included), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        ours.auc(actual, expected, included),
+        ref_eval.auc(ta, te, included), rtol=1e-10)
+
+
+def test_gather_3d_metrics_matches_reference(ref_pkg):
+    """The full six-metric dict, including the Procrustes-aligned variants
+    (reference: src/margipose/eval.py:70-85)."""
+    ref_eval, _ = ref_pkg
+    import margipose_tpu.eval as ours
+
+    expected, actual = _rand_skel(12), _rand_skel(13)
+    ref = ref_eval.gather_3d_metrics(
+        torch.from_numpy(expected), torch.from_numpy(actual))
+    got = ours.gather_3d_metrics(expected, actual)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-9,
+                                   err_msg=f"metric {k}")
+
+
+def test_skeleton_tables_match_reference(ref_pkg):
+    """Canonical skeleton description constants are the numeric contract for
+    every joint mapping (reference: src/margipose/data/skeleton.py:9-75)."""
+    _, ref_skel = ref_pkg
+    from margipose_tpu.geometry.skeleton import (
+        CanonicalSkeletonDesc, VNect_Common_Skeleton)
+
+    assert CanonicalSkeletonDesc.joint_names == \
+        ref_skel.CanonicalSkeletonDesc.joint_names
+    assert CanonicalSkeletonDesc.joint_tree == \
+        ref_skel.CanonicalSkeletonDesc.joint_tree
+    assert CanonicalSkeletonDesc.hflip_indices == \
+        ref_skel.CanonicalSkeletonDesc.hflip_indices
+    assert VNect_Common_Skeleton == ref_skel.VNect_Common_Skeleton
+
+
+def test_skeleton_algebra_matches_reference(ref_pkg):
+    """Parent/root-relative transforms and the spherical round-trip
+    (reference: src/margipose/data/skeleton.py:78-113)."""
+    _, ref_skel = ref_pkg
+    import margipose_tpu.geometry.skeleton as ours
+
+    tree = ref_skel.CanonicalSkeletonDesc.joint_tree
+    skel = _rand_skel(14)
+    t = torch.from_numpy(skel)
+
+    rel_ref = ref_skel.absolute_to_parent_relative(t, tree)
+    np.testing.assert_allclose(
+        ours.absolute_to_parent_relative(skel, tree), rel_ref.numpy(),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        ours.parent_relative_to_absolute(rel_ref.numpy(), tree),
+        ref_skel.parent_relative_to_absolute(rel_ref, tree).numpy(),
+        rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(
+        ours.absolute_to_root_relative(skel, 14),
+        ref_skel.absolute_to_root_relative(t, 14).numpy(), rtol=1e-12)
+
+    sph_ref = ref_skel.cartesian_to_spherical(t).numpy()
+    np.testing.assert_allclose(
+        ours.cartesian_to_spherical(skel), sph_ref, rtol=1e-10)
+    np.testing.assert_allclose(
+        ours.spherical_to_cartesian(sph_ref),
+        ref_skel.spherical_to_cartesian(torch.from_numpy(sph_ref)).numpy(),
+        rtol=1e-9, atol=1e-9)
+
+
+def test_scale_and_height_match_reference(ref_pkg):
+    """calc_relative_scale (median bone ratios) and knee-neck height
+    (reference: src/margipose/data/skeleton.py:115-177)."""
+    _, ref_skel = ref_pkg
+    import margipose_tpu.geometry.skeleton as ours
+
+    desc = ref_skel.CanonicalSkeletonDesc
+    skel = _rand_skel(15)
+    ref_sized = 1.37 * _rand_skel(16)
+
+    ref_bones_t = ref_skel.cartesian_to_spherical(
+        ref_skel.absolute_to_parent_relative(
+            torch.from_numpy(ref_sized), desc.joint_tree))[:, 0]
+    got = ours.calc_relative_scale(skel, ref_bones_t.numpy(), desc.joint_tree)
+    want = ref_skel.calc_relative_scale(
+        torch.from_numpy(skel), ref_bones_t, desc.joint_tree)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    np.testing.assert_allclose(
+        ours.calculate_knee_neck_height(skel, desc.joint_names),
+        ref_skel.calculate_knee_neck_height(
+            torch.from_numpy(skel), desc.joint_names),
+        rtol=1e-10)
+
+
+def test_rigid_alignment_and_canonical_orientation_match_reference(ref_pkg):
+    """Procrustes alignment and canonicalise_orientation
+    (reference: src/margipose/data/skeleton.py:180-260)."""
+    _, ref_skel = ref_pkg
+    import margipose_tpu.geometry.skeleton as ours
+
+    desc = ref_skel.CanonicalSkeletonDesc
+    skel, ref_sk = _rand_skel(17), _rand_skel(18)
+    np.testing.assert_allclose(
+        ours.apply_rigid_alignment(skel, ref_sk),
+        ref_skel.apply_rigid_alignment(
+            torch.from_numpy(skel), torch.from_numpy(ref_sk)).numpy(),
+        rtol=1e-9, atol=1e-9)
+
+    got = ours.canonicalise_orientation(desc, skel)
+    want = ref_skel.canonicalise_orientation(
+        desc, torch.from_numpy(skel)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
