@@ -118,14 +118,23 @@ def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
 
 def obtain_predictions(forward, loader, known_depth=False,
                        print_progress=False, multicrop=False, batch_size=1,
-                       ship_specs=None, sharding=None):
+                       ship_specs=None, sharding=None, drain_window=4):
     """(reference: src/margipose/bin/eval_3d.py:48-94)
 
     With ``multicrop`` each loader item is one example's 10-crop batch and
     yields ONE crop-averaged prediction (the reference's only batched mode);
     otherwise yields one prediction per example, so ``batch_size`` > 1
     amortises the per-dispatch cost on TPU. Short tail batches are padded to
-    ``batch_size`` to keep a single compiled shape."""
+    ``batch_size`` to keep a single compiled shape.
+
+    Device results are drained in a sliding window of ``drain_window``
+    in-flight batches (the same machinery as the training/validation passes,
+    BASELINE.md "Validation-pass drain"): batch k's ``(xyz, loss)`` is read
+    back — in ONE ``jax.device_get`` round-trip, not two — only after
+    batches k+1..k+W have been enqueued on the device FIFO, so the ~29 ms
+    remote-relay readback and the host-side float64 geometry overlap the
+    device computing subsequent batches instead of serialising with it."""
+    import jax
     iterable = _padded_device_batches(loader, multicrop, batch_size,
                                       input_specs=ship_specs,
                                       sharding=sharding)
@@ -137,7 +146,55 @@ def obtain_predictions(forward, loader, known_depth=False,
         except ImportError:
             pass
 
+    def _drain(entry):
+        # ONE device->host round-trip for both result buffers
+        xyz, loss = jax.device_get((entry['xyz'], entry['loss']))
+        loss = float(loss)
+        n_real = entry['n_real']
+        inference_time = entry['inference_time']
+
+        norm_preds = ensure_homogeneous(
+            np.asarray(xyz, np.float64)[:n_real], d=3)
+
+        def _frame_ref(i):
+            fr = entry['frame_ref']
+            if fr is None:
+                return None
+            return fr[i] if isinstance(fr, list) else {
+                k: np.asarray(v)[i] for k, v in fr.items()}
+
+        if multicrop:
+            # one example's crops: average predictions over crops
+            actuals = []
+            expected = None
+            for i, norm_pred in enumerate(norm_preds):
+                expected, actual_i = prepare_for_3d_evaluation(
+                    entry['original_skel'][i], norm_pred, loader.dataset,
+                    entry['camera_intrinsic'][i], entry['transform_opts'][i],
+                    known_depth=known_depth)
+                actuals.append(actual_i)
+            actual = np.stack(actuals, 0).mean(0)
+            yield dict(expected=expected, actual=actual, frame_ref=_frame_ref(0),
+                       inference_time=inference_time, loss=loss, loss_n=1)
+        else:
+            if inference_time is not None:
+                # per-REAL-example time so the reported median is comparable
+                # across --batch-size settings (the reference's batch-1
+                # surface is per-example by construction); padded rows do
+                # cost device time but yield no results
+                inference_time /= n_real
+            for i, norm_pred in enumerate(norm_preds):
+                expected, actual = prepare_for_3d_evaluation(
+                    entry['original_skel'][i], norm_pred, loader.dataset,
+                    entry['camera_intrinsic'][i], entry['transform_opts'][i],
+                    known_depth=known_depth)
+                yield dict(expected=expected, actual=actual,
+                           frame_ref=_frame_ref(i),
+                           inference_time=inference_time if i == 0 else None,
+                           loss=loss if i == 0 else None, loss_n=n_real)
+
     timed_batches = 0
+    pending = []
     for batch in iterable:
         n_real = batch['n_real']
         in_var = batch['input']
@@ -170,47 +227,20 @@ def obtain_predictions(forward, loader, known_depth=False,
             timed_batches += 1
 
         xyz, loss = forward(in_var, target, mask, valid_depth)
-        loss = float(loss)  # real sync: completes only after the forward
+        # keep ONLY the (tiny) result buffers + host metadata in flight; the
+        # device input buffers free as `batch` leaves scope (HBM headroom)
+        pending.append(dict(
+            xyz=xyz, loss=loss, n_real=n_real,
+            inference_time=inference_time,
+            original_skel=batch['original_skel'],
+            camera_intrinsic=batch['camera_intrinsic'],
+            transform_opts=batch['transform_opts'],
+            frame_ref=batch.get('frame_ref')))
+        if len(pending) > drain_window:
+            yield from _drain(pending.pop(0))
 
-        norm_preds = ensure_homogeneous(
-            np.asarray(xyz, np.float64)[:n_real], d=3)
-
-        def _frame_ref(i):
-            if 'frame_ref' not in batch:
-                return None
-            fr = batch['frame_ref']
-            return fr[i] if isinstance(fr, list) else {
-                k: np.asarray(v)[i] for k, v in fr.items()}
-
-        if multicrop:
-            # one example's crops: average predictions over crops
-            actuals = []
-            expected = None
-            for i, norm_pred in enumerate(norm_preds):
-                expected, actual_i = prepare_for_3d_evaluation(
-                    batch['original_skel'][i], norm_pred, loader.dataset,
-                    batch['camera_intrinsic'][i], batch['transform_opts'][i],
-                    known_depth=known_depth)
-                actuals.append(actual_i)
-            actual = np.stack(actuals, 0).mean(0)
-            yield dict(expected=expected, actual=actual, frame_ref=_frame_ref(0),
-                       inference_time=inference_time, loss=loss, loss_n=1)
-        else:
-            if inference_time is not None:
-                # per-REAL-example time so the reported median is comparable
-                # across --batch-size settings (the reference's batch-1
-                # surface is per-example by construction); padded rows do
-                # cost device time but yield no results
-                inference_time /= n_real
-            for i, norm_pred in enumerate(norm_preds):
-                expected, actual = prepare_for_3d_evaluation(
-                    batch['original_skel'][i], norm_pred, loader.dataset,
-                    batch['camera_intrinsic'][i], batch['transform_opts'][i],
-                    known_depth=known_depth)
-                yield dict(expected=expected, actual=actual,
-                           frame_ref=_frame_ref(i),
-                           inference_time=inference_time if i == 0 else None,
-                           loss=loss if i == 0 else None, loss_n=n_real)
+    for entry in pending:
+        yield from _drain(entry)
 
 
 def run_evaluation_3d(forward, loader, included_joints,
