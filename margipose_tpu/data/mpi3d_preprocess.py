@@ -25,6 +25,7 @@ from margipose_tpu.data.mpi_inf_3dhp import Constants, MpiInf3dhpSkeletonDesc
 from margipose_tpu.geometry.skeleton import (
     CanonicalSkeletonDesc,
     absolute_to_root_relative,
+    torch_median,
 )
 
 
@@ -131,7 +132,9 @@ def calculate_univ_scale_factor(annot3, univ_annot3, skel_desc):
 
     non_zero = np.abs(rel_univ) > 1e-6
     ratio = rel_annot3[non_zero] / rel_univ[non_zero]
-    scale = float(np.median(ratio))
+    # torch.median lower-middle semantics, matching the reference's
+    # `ratio.median()` (the ratio count is even in practice)
+    scale = torch_median(ratio)
     err_count = (np.abs(rel_annot3 / scale - rel_univ) > 1e-6).sum()
     assert err_count == 0, 'universal scale is not a single factor'
     return scale

@@ -119,6 +119,16 @@ def spherical_to_cartesian(spherical: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z], axis=-1)
 
 
+def torch_median(values) -> float:
+    """Median with torch.median semantics: for an even count, the LOWER of
+    the two middle values — not numpy's average of them. Everywhere the
+    reference takes `tensor.median()` over a derived ratio this is the
+    convention, and the parity tests showed it matters at full float64
+    precision (tests/test_reference_parity.py)."""
+    values = np.asarray(values).ravel()
+    return float(np.sort(values)[(values.size - 1) // 2])
+
+
 def calc_relative_scale(skeleton, ref_bone_lengths, joint_tree) -> float:
     """Median factor by which the reference is larger than the query skeleton
     (reference: src/margipose/data/skeleton.py:115-135)."""
@@ -129,12 +139,11 @@ def calc_relative_scale(skeleton, ref_bone_lengths, joint_tree) -> float:
     if non_zero.sum() == 0:
         return 0.0
     ratio = np.asarray(ref_bone_lengths)[non_zero] / bone_lengths[non_zero]
-    # torch.median semantics: for an even count, the LOWER of the two middle
-    # values — not numpy's average. The count here is even in practice (the
-    # pelvis self-loop bone is masked out of the 17-joint tree), so this is
+    # The count here is even in practice (the pelvis self-loop bone is
+    # masked out of the 17-joint tree), so torch's lower-middle median is
     # parity-critical; caught by directly executing the reference's
     # calc_relative_scale in tests/test_reference_parity.py.
-    return float(np.sort(ratio)[(ratio.size - 1) // 2])
+    return torch_median(ratio)
 
 
 def bone_path_length(sph_rel_joints, joint_a, joint_b, joint_tree):

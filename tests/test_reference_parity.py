@@ -436,3 +436,120 @@ def test_rigid_alignment_and_canonical_orientation_match_reference(ref_pkg):
     want = ref_skel.canonicalise_orientation(
         desc, torch.from_numpy(skel)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ref_preprocess():
+    """Execute the ACTUAL reference ``data/mpi_inf_3dhp/preprocess.py``.
+
+    Its import chain adds ``margipose.data.mpi_inf_3dhp.common`` (loaded
+    from the reference tree with a real package spec so its
+    ``read_text('margipose.data.mpi_inf_3dhp', 'sequence_info.json')``
+    resolves against the reference's own JSON) and a one-line
+    ``pose3d_utils.camera.CameraIntrinsics`` class shim (imported by
+    common.py at module level; unused by the function under test)."""
+    files = [
+        os.path.join(REFERENCE_SRC, "data", "skeleton.py"),
+        os.path.join(REFERENCE_SRC, "data", "mpi_inf_3dhp", "preprocess.py"),
+    ]
+    if not all(os.path.isfile(f) for f in files):
+        pytest.skip("reference preprocess modules not found")
+    pytest.importorskip("scipy")
+
+    keys = ("pose3d_utils", "pose3d_utils.coords", "pose3d_utils.camera",
+            "margipose", "margipose.data", "margipose.data.skeleton",
+            "margipose.data.mpi_inf_3dhp",
+            "margipose.data.mpi_inf_3dhp.common",
+            "margipose.data.mpi_inf_3dhp.preprocess")
+    saved = {k: sys.modules.get(k) for k in keys}
+    try:
+        p3u = types.ModuleType("pose3d_utils")
+        coords = _pose3d_coords_shim()
+        camera = types.ModuleType("pose3d_utils.camera")
+
+        class CameraIntrinsics:  # constructor-only surface used by common.py
+            def __init__(self, matrix):
+                self.matrix = matrix
+
+        camera.CameraIntrinsics = CameraIntrinsics
+        p3u.coords = coords
+        p3u.camera = camera
+        sys.modules["pose3d_utils"] = p3u
+        sys.modules["pose3d_utils.coords"] = coords
+        sys.modules["pose3d_utils.camera"] = camera
+
+        pkg = types.ModuleType("margipose")
+        pkg.__path__ = [REFERENCE_SRC]
+        sys.modules["margipose"] = pkg
+        data_pkg = types.ModuleType("margipose.data")
+        data_pkg.__path__ = [os.path.join(REFERENCE_SRC, "data")]
+        sys.modules["margipose.data"] = data_pkg
+
+        def load(mod_name, rel_path, execute=True):
+            full = os.path.join(REFERENCE_SRC, rel_path)
+            kwargs = ({"submodule_search_locations": [os.path.dirname(full)]}
+                      if not execute else {})
+            spec = importlib.util.spec_from_file_location(
+                mod_name, full, **kwargs)
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = module
+            if execute:
+                spec.loader.exec_module(module)
+            return module
+
+        load("margipose.data.skeleton", os.path.join("data", "skeleton.py"))
+        # register the package spec WITHOUT executing its __init__ (which
+        # imports torchvision, absent here): common.py's read_text()
+        # resolves sequence_info.json through the registered loader
+        load("margipose.data.mpi_inf_3dhp",
+             os.path.join("data", "mpi_inf_3dhp", "__init__.py"),
+             execute=False)
+        load("margipose.data.mpi_inf_3dhp.common",
+             os.path.join("data", "mpi_inf_3dhp", "common.py"))
+        ref_pre = load("margipose.data.mpi_inf_3dhp.preprocess",
+                       os.path.join("data", "mpi_inf_3dhp", "preprocess.py"))
+        yield ref_pre
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_univ_scale_factor_matches_reference(ref_preprocess):
+    """calculate_univ_scale_factor — including torch.median's lower-middle
+    convention on the (even-count) ratio array (reference:
+    src/margipose/data/mpi_inf_3dhp/preprocess.py:105-125)."""
+    from margipose_tpu.data.mpi3d_preprocess import calculate_univ_scale_factor
+    from margipose_tpu.data.mpi_inf_3dhp import MpiInf3dhpSkeletonDesc
+
+    ref_desc = sys.modules["margipose.data.mpi_inf_3dhp.common"] \
+        .MpiInf3dhpSkeletonDesc
+    rnd = np.random.RandomState(20)
+    # 4 frames x 23 included joints x 3 coords = 276 ratios — EVEN, so the
+    # two median conventions pick different values (verified below)
+    n_frames, scale = 4, 1.0717268
+    univ = rnd.uniform(-900, 900, (n_frames, ref_desc.n_joints, 3))
+    univ[:, ref_desc.root_joint_id] = rnd.uniform(-50, 50, (n_frames, 3))
+    # perturb below the 1e-6 congruence tolerance so the ratio array is NOT
+    # constant: the median's tie-break convention then matters at float64
+    annot3 = univ * scale + rnd.uniform(-2e-7, 2e-7, univ.shape)
+
+    ours = calculate_univ_scale_factor(annot3, univ, MpiInf3dhpSkeletonDesc)
+    want = ref_preprocess._calculate_univ_scale_factor(
+        annot3, univ, ref_desc)
+    assert ours == want  # bit-exact: same lower-middle element
+
+    # tripwire: this data MUST discriminate the conventions — if numpy's
+    # middle-averaging median gave the same answer the test proves nothing
+    from margipose_tpu.geometry.skeleton import absolute_to_root_relative
+    rel_a = absolute_to_root_relative(annot3, ref_desc.root_joint_id)
+    rel_u = absolute_to_root_relative(univ, ref_desc.root_joint_id)
+    exclude = {'pelvis', 'left_knee', 'left_ankle', 'right_knee',
+               'right_ankle'}
+    inc = [i for i, n in enumerate(ref_desc.joint_names) if n not in exclude]
+    nz = np.abs(rel_u[..., inc, :]) > 1e-6
+    ratio = rel_a[..., inc, :][nz] / rel_u[..., inc, :][nz]
+    assert ratio.size % 2 == 0
+    assert float(np.median(ratio)) != want
