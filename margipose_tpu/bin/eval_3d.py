@@ -45,7 +45,10 @@ def parse_args(argv):
     parser.add_argument('--precision', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='compute dtype (float32 for checkpoint-parity '
-                             'metrics; bfloat16 for TPU throughput)')
+                             'metrics — with --ship auto this also keeps '
+                             'host-side input normalisation so the graph '
+                             'input is bit-identical; bfloat16 for TPU '
+                             'throughput)')
     parser.add_argument('--num-workers', type=int, metavar='N', default=0,
                         help='loader threads prefetching upcoming examples '
                              '(multicrop items / batches) while the device '
@@ -55,13 +58,19 @@ def parse_args(argv):
                              'transfer pump and INCREASE wall time (measured '
                              '~1.8x, BASELINE.md); set 2-4 on multi-core '
                              'TPU-VM hosts')
-    parser.add_argument('--ship', type=str, default='uint8',
-                        choices=['uint8', 'float32'],
+    parser.add_argument('--ship', type=str, default='auto',
+                        choices=['auto', 'uint8', 'float32'],
                         help='input transfer encoding: uint8 re-quantises '
                              'the normalised input back to its exact source '
                              'pixels (lossless, 4x fewer bytes) and '
-                             're-normalises on device; float32 ships the '
-                             'host-normalised tensor as-is')
+                             're-normalises on device — the reconstruction '
+                             'is exact but the on-device normalisation '
+                             'arithmetic differs from the host\'s at the '
+                             'last ulp; float32 ships the host-normalised '
+                             'tensor as-is (bit-identical graph input). '
+                             'auto picks float32 when --precision float32 '
+                             '(the checkpoint-parity mode) and uint8 when '
+                             '--precision bfloat16 (the throughput mode)')
     parser.add_argument('--num-devices', type=int, metavar='N', default=1,
                         help='data-parallel evaluation: shard each batch '
                              'over N local devices (0 = all) on a pure-data '
@@ -98,7 +107,10 @@ def _padded_device_batches(loader, multicrop, batch_size, input_specs=None,
             out = dict(batch)
             out['n_real'] = n_real
             inp = _pad(batch['input'])
-            if input_specs is not None:
+            # dtype guard mirrors device_prefetch.ship (data/loader.py):
+            # requantize inverts host NORMALISATION — applying it to inputs
+            # already in uint8 source pixels would corrupt them
+            if input_specs is not None and inp.dtype == np.float32:
                 inp = input_specs.requantize(inp)
             out['input'] = inp
             out['target'] = np.ascontiguousarray(
@@ -128,8 +140,10 @@ def obtain_predictions(forward, loader, known_depth=False,
     ``batch_size`` to keep a single compiled shape.
 
     Device results are drained in a sliding window of ``drain_window``
-    in-flight batches (the same machinery as the training/validation passes,
-    BASELINE.md "Validation-pass drain"): batch k's ``(xyz, loss)`` is read
+    in-flight batches (the same *discipline* as the training/validation
+    passes — each keeps its own drain loop because the payloads differ:
+    timing-meter windows there, a prediction generator here; BASELINE.md
+    "Validation-pass drain"): batch k's ``(xyz, loss)`` is read
     back — in ONE ``jax.device_get`` round-trip, not two — only after
     batches k+1..k+W have been enqueued on the device FIFO, so the ~29 ms
     remote-relay readback and the host-side float64 geometry overlap the
@@ -332,6 +346,10 @@ def main(argv, common_opts):
             raise SystemExit(
                 'eval: --num-devices > 1 requires batched mode; --multicrop '
                 'items are one example and cannot shard over devices')
+        if n_dev > len(jax.devices()):
+            raise SystemExit(
+                f'eval: --num-devices {n_dev} exceeds the {len(jax.devices())} '
+                f'available device(s)')
         if args.batch_size % n_dev != 0:
             raise SystemExit(
                 f'eval: --batch-size {args.batch_size} must be divisible by '
@@ -343,10 +361,16 @@ def main(argv, common_opts):
 
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
 
-    # inputs ship as uint8 (lossless — ImageSpecs.requantize) and are
-    # normalised on device: 4x fewer host->device bytes per batch
+    # uint8 shipping is a lossless pixel reconstruction (ImageSpecs.
+    # requantize) with 4x fewer host->device bytes, but its on-device
+    # re-normalisation differs from host numpy at the last ulp — so 'auto'
+    # reserves it for the bfloat16 throughput mode and keeps the float32
+    # checkpoint-parity mode's graph input bit-identical to host norms
+    ship = args.ship
+    if ship == 'auto':
+        ship = 'uint8' if args.precision == 'bfloat16' else 'float32'
     ship_specs = (dataset.data_specs.input_specs
-                  if args.ship == 'uint8' else None)
+                  if ship == 'uint8' else None)
 
     @jax.jit
     def jitted(images, target, mask, valid_depth):

@@ -334,6 +334,27 @@ def test_eval_cli_data_parallel_matches_single_device(trained_ckpt, capsys):
     assert abs(m1 - m8) < 1e-3, (m1, m8)
 
 
+def test_eval_cli_ship_auto_is_parity_safe(trained_ckpt, capsys):
+    """--ship auto (default) must resolve to float32 shipping under the
+    float32 checkpoint-parity precision — the metrics table is IDENTICAL to
+    an explicit --ship float32 run, to full printed precision (uint8
+    shipping renormalises on device at last-ulp difference, so the same
+    check against --ship uint8 would only agree approximately)."""
+    from margipose_tpu.bin.eval_3d import main as eval_main
+
+    def overall_row(args):
+        eval_main(args, {'device': 'auto'})
+        out = capsys.readouterr().out
+        table = out.split('### Overall')[1]
+        return [ln for ln in table.splitlines() if ln.startswith('|  0')][0]
+
+    base = ['eval', '--model', trained_ckpt, '--dataset', 'synthetic-4',
+            '--batch-size', '4']
+    auto_row = overall_row(base)
+    f32_row = overall_row(base + ['--ship', 'float32'])
+    assert auto_row == f32_row
+
+
 def test_train_cli_pretrained_stem(tmp_path, capsys):
     """`pretrained_stem=<path>` starts fresh training from an ImageNet
     backbone state_dict, like the reference's implicit pretrained download
