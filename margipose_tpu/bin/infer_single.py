@@ -34,12 +34,64 @@ def parse_args(argv):
                         help='image file to infer pose from')
     parser.add_argument('--out-file', type=str, metavar='FILE', default=None,
                         help='write the visualisation to this PNG instead of showing')
+    parser.add_argument('--multicrop', action='store_true',
+                        help='average predictions over 10 crops (2 flips x 5 '
+                             'offsets). The reference declares this flag but '
+                             'asserts it is unimplemented (reference: '
+                             'src/margipose/bin/infer_single.py:56); here it '
+                             'works, mirroring the eval multicrop scheme.')
     return parser.parse_args(argv[1:])
 
 
-def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
+# The eval multicrop scheme (reference: src/margipose/data/mpi_inf_3dhp/
+# __init__.py:332-360): 2 horizontal flips x 5 crop-centre offsets of 8 px.
+_MULTICROP_FLIPS = (False, True)
+_MULTICROP_OFFSETS = ((0, 0), (-8, 0), (0, -8), (8, 0), (0, 8))
+
+
+def _multicrop_affines(base: np.ndarray, w: int) -> np.ndarray:
+    """10 source->output affines: T(offset) then hflip about the output
+    canvas, composed onto the base aspect-fit affine."""
+    affines = []
+    for flip in _MULTICROP_FLIPS:
+        for dx, dy in _MULTICROP_OFFSETS:
+            a = np.array([[1, 0, dx], [0, 1, dy], [0, 0, 1]],
+                         np.float32) @ base
+            if flip:
+                a = np.array([[-1, 0, w], [0, 1, 0], [0, 0, 1]],
+                             np.float32) @ a
+            affines.append(a)
+    return np.stack(affines).astype(np.float32)
+
+
+def _merge_multicrop(preds: np.ndarray, w: int, h: int,
+                     hflip_indices) -> np.ndarray:
+    """Back-map each crop's normalized prediction into the base frame and
+    average — the no-camera analogue of the eval path's untransform-then-mean
+    over crops (margipose_tpu/bin/eval_3d.py). Undo the flip first (negate x,
+    swap left/right joints: the corner-convention hflip is exactly x -> -x in
+    normalized coords), then the offset (2*d/size in normalized units)."""
+    merged = []
+    i = 0
+    for flip in _MULTICROP_FLIPS:
+        for dx, dy in _MULTICROP_OFFSETS:
+            p = np.array(preds[i], np.float64)
+            i += 1
+            if flip:
+                p = p[list(hflip_indices)]
+                p[:, 0] = -p[:, 0]
+            p[:, 0] -= 2.0 * dx / w
+            p[:, 1] -= 2.0 * dy / h
+            merged.append(p)
+    return np.mean(merged, axis=0)
+
+
+def infer_image(model, variables, image: PIL.Image.Image, model_desc=None,
+                multicrop: bool = False):
     """Resize + normalise (on device) + forward.
-    Returns (input_array, coords [17,3])."""
+    Returns (input_array, coords [17,3]). With ``multicrop``, forwards all
+    10 crops as one batch and returns the crop-averaged coords (the input
+    array returned is the base, unshifted/unflipped crop)."""
     import jax
     import jax.numpy as jnp
 
@@ -64,22 +116,33 @@ def infer_image(model, variables, image: PIL.Image.Image, model_desc=None):
         image = image.reduce(reduce_factor)
     src = np.asarray(image, np.float32) / 255.0
     scale = min(w / src.shape[1], h / src.shape[0], 1.0)
-    affine = jnp.asarray(
+    base_affine = np.array(
         [[scale, 0.0, 0.0], [0.0, scale, 0.0], [0.0, 0.0, 1.0]],
-        jnp.float32)
+        np.float32)
+    affines = (_multicrop_affines(base_affine, w) if multicrop
+               else base_affine[None])
 
     @jax.jit
-    def forward(raw, affine):
+    def forward(raw, affines):
         # resize + ImageNet-normalise fused into the same XLA program as
         # the model forward (margipose_tpu/ops/image.py)
-        inp = device_augment(raw[None], affine[None], h, w,
+        n = affines.shape[0]
+        inp = device_augment(jnp.broadcast_to(raw[None], (n,) + raw.shape),
+                             affines, h, w,
                              brightness=1.0, contrast=1.0, saturation=1.0,
                              hue=0.0, mean=input_specs.mean, std=input_specs.stddev)
         xyz, _ = model.apply(variables, inp, train=False)
-        return inp[0], xyz[0]
+        return inp[0], xyz
 
-    inp, output = forward(jnp.asarray(src), affine)
-    return np.asarray(inp), np.asarray(output, dtype=np.float64)
+    inp, preds = forward(jnp.asarray(src), jnp.asarray(affines))
+    if multicrop:
+        from margipose_tpu.geometry.skeleton import CanonicalSkeletonDesc
+
+        output = _merge_multicrop(np.asarray(preds), w, h,
+                                  CanonicalSkeletonDesc.hflip_indices)
+    else:
+        output = np.asarray(preds[0], dtype=np.float64)
+    return np.asarray(inp), output
 
 
 def main(argv, common_opts):
@@ -89,7 +152,8 @@ def main(argv, common_opts):
 
     model, variables, model_desc = load_model(args.model)
     image = PIL.Image.open(args.image, 'r')
-    inp, output = infer_image(model, variables, image, model_desc)
+    inp, output = infer_image(model, variables, image, model_desc,
+                              multicrop=args.multicrop)
 
     norm_skel3d = ensure_cartesian(output, d=3)
     print('Normalized skeleton coordinates:')

@@ -441,3 +441,64 @@ def test_infer_cli_wide_image(trained_ckpt, tmp_path):
     infer_main(['infer', '--model', trained_ckpt, '--image', img_file,
                 '--out-file', out_file], {'device': 'auto'})
     assert path.isfile(out_file)
+
+
+def test_infer_multicrop_backmap_geometry():
+    """The 10-crop infer path (reference declares --multicrop but asserts it
+    unimplemented, src/margipose/bin/infer_single.py:56) back-maps every
+    crop's prediction into the base frame before averaging. Verify the whole
+    affine/flip/offset chain with a 'model' that soft-argmaxes the input
+    blob: every crop sees the blob somewhere else, but the merged prediction
+    must land on the base-frame blob location."""
+    import PIL.Image
+
+    from margipose_tpu.bin.infer_single import infer_image
+
+    class BlobModel:
+        def apply(self, variables, inp, train=False):
+            import jax.numpy as jnp
+
+            from margipose_tpu.ops.dsnt import dsnt, flat_softmax
+
+            heat = flat_softmax((inp.mean(axis=-1) * 20.0)[:, None])
+            xy = dsnt(heat)[:, 0]
+            xyz = jnp.concatenate(
+                [xy, jnp.full((xy.shape[0], 1), 0.3, xy.dtype)], axis=-1)
+            return jnp.tile(xyz[:, None, :], (1, 17, 1)), None
+
+    img = np.zeros((256, 256, 3), np.uint8)
+    by, bx = 108, 158  # blob centre, off-centre in both axes
+    img[by - 5:by + 6, bx - 5:bx + 6] = 255
+    pil = PIL.Image.fromarray(img)
+
+    model = BlobModel()
+    _, single = infer_image(model, {}, pil, multicrop=False)
+    _, merged = infer_image(model, {}, pil, multicrop=True)
+
+    # base-frame blob location in normalized coords (half-pixel centres)
+    expect_x = (bx + 0.5) * 2 / 256 - 1
+    expect_y = (by + 0.5) * 2 / 256 - 1
+    np.testing.assert_allclose(single[0, :2], [expect_x, expect_y], atol=0.02)
+    # every crop back-maps to the same base point, so the 10-crop mean must
+    # agree with the single-crop prediction (a flip-sign or offset-direction
+    # bug would shift x by ~2*|x| or ~2*dx/w respectively)
+    np.testing.assert_allclose(merged[:, :2], single[:, :2], atol=0.02)
+    np.testing.assert_allclose(merged[:, 2], 0.3, atol=1e-5)
+
+
+def test_infer_cli_multicrop(trained_ckpt, tmp_path):
+    """infer --multicrop end-to-end: works here, unimplemented upstream."""
+    import PIL.Image
+
+    from margipose_tpu.bin.infer_single import main as infer_main
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    ds = SyntheticPoseDataset(length=1)
+    img = ds.input_to_pil_image(ds[0]['input'])
+    img_file = str(tmp_path / 'person.png')
+    img.save(img_file)
+    out_file = str(tmp_path / 'result.png')
+
+    infer_main(['infer', '--model', trained_ckpt, '--image', img_file,
+                '--out-file', out_file, '--multicrop'], {'device': 'auto'})
+    assert path.isfile(out_file)
