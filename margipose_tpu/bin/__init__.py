@@ -14,6 +14,7 @@ def _subcommands():
     from margipose_tpu.bin.hyperparam_search import Hyperparams_Subcommand
     from margipose_tpu.bin.infer_single import Infer_Subcommand
     from margipose_tpu.bin.run_gui import GUI_Subcommand
+    from margipose_tpu.bin.serve import Serve_Subcommand
     from margipose_tpu.bin.train_3d import Train_Subcommand
 
     subs = [
@@ -22,6 +23,7 @@ def _subcommands():
         Train_Subcommand,
         Hyperparams_Subcommand,
         Infer_Subcommand,
+        Serve_Subcommand,
     ]
     return {s.name: s for s in subs}
 

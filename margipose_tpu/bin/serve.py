@@ -1,0 +1,244 @@
+#!/usr/bin/env python3
+"""Batched HTTP inference server (no reference equivalent — the reference
+is a research CLI only; this is the production-serving surface of the
+rebuild).
+
+    ./run.sh serve --model CKPT --port 8800
+    curl -X POST --data-binary @person.jpg localhost:8800/predict
+
+Endpoints:
+    POST /predict   image bytes (JPEG/PNG/...) -> JSON normalized skeleton
+    GET  /healthz   liveness probe -> {"status": "ok"}
+
+Requests are **microbatched**: a dispatcher thread collects up to
+``--batch-size`` in-flight requests (waiting at most ``--max-wait-ms`` after
+the first arrival), pads to the fixed batch shape, and runs ONE jitted
+forward — the TPU always executes the same compiled executable regardless
+of traffic, and concurrent requests share a single MXU pass instead of
+serialising. Images are letterboxed host-side onto the model input canvas
+(content at the top-left, like ``infer``) and shipped as uint8 with
+on-device re-normalisation — the same lossless 4x transfer reduction as the
+crop-ship training path (BASELINE.md "Train input shipping").
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from time import monotonic, perf_counter
+
+import numpy as np
+import PIL.Image
+
+from margipose_tpu.cli import Subcommand
+
+
+class _Pending:
+    __slots__ = ('image', 'event', 'result', 'error', 'batched_with')
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.batched_with = 0
+
+
+class Microbatcher:
+    """Collects requests into fixed-size batches for a single jitted
+    forward. ``runner`` maps a uint8 [B,H,W,3] array to [B,J,3] coords."""
+
+    def __init__(self, runner, batch_size: int, max_wait_s: float):
+        self.runner = runner
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_s
+        self.queue: queue.Queue[_Pending] = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> _Pending:
+        item = _Pending(image)
+        self.queue.put(item)
+        return item
+
+    def _loop(self):
+        while True:
+            items = [self.queue.get()]
+            deadline = monotonic() + self.max_wait_s
+            while len(items) < self.batch_size:
+                remaining = deadline - monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                batch = np.stack(
+                    [it.image for it in items]
+                    + [items[-1].image] * (self.batch_size - len(items)))
+                coords = np.asarray(self.runner(batch), np.float64)
+                for i, it in enumerate(items):
+                    it.result = coords[i]
+                    it.batched_with = len(items)
+            except Exception as exc:  # surface to every waiting request
+                for it in items:
+                    it.error = exc
+            finally:
+                for it in items:
+                    it.event.set()
+
+
+def letterbox_uint8(image: PIL.Image.Image, width: int,
+                    height: int) -> np.ndarray:
+    """Aspect-fit the image into (width, height) with content at the
+    top-left on a black canvas (the ``infer`` convention), antialiased,
+    returned as uint8 HWC."""
+    image = image.convert('RGB')
+    image.thumbnail((width, height))
+    canvas = np.zeros((height, width, 3), np.uint8)
+    arr = np.asarray(image, np.uint8)
+    canvas[:arr.shape[0], :arr.shape[1]] = arr
+    return canvas
+
+
+def make_runner(ckpt_path: str, batch_size: int, precision: str):
+    """Load the checkpoint and build the fixed-shape jitted forward.
+    Returns (runner, input_specs, joint_names)."""
+    import jax
+    import jax.numpy as jnp
+
+    from margipose_tpu.data.specs import device_renormalize
+    from margipose_tpu.models import data_specs_for_desc
+    from margipose_tpu.parallel.precision import (compute_dtype_scope,
+                                                  resolve_dtype)
+    from margipose_tpu.train.checkpoint import load_model
+
+    model, variables, model_desc = load_model(ckpt_path)
+    specs = data_specs_for_desc(model_desc)
+    input_specs = specs.input_specs
+    compute_dtype = resolve_dtype(precision)
+
+    @jax.jit
+    def forward(images_u8):
+        images = device_renormalize(images_u8, input_specs)
+        with compute_dtype_scope(compute_dtype):
+            xyz, _ = model.apply(
+                variables, images.astype(compute_dtype or images.dtype),
+                train=False)
+        return xyz.astype(jnp.float32)
+
+    def runner(batch_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(forward(batch_u8))
+
+    joint_names = specs.output_specs.skeleton_desc.joint_names
+    return runner, input_specs, joint_names
+
+
+def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
+                  batch_size: int = 8, max_wait_ms: float = 5.0,
+                  precision: str = 'bfloat16', warmup: bool = True):
+    """Build (but do not start) the HTTP server; ``port=0`` picks a free
+    port (see ``server.server_address``). Separated from ``main`` so tests
+    drive the real serving stack in-process."""
+    runner, input_specs, joint_names = make_runner(
+        ckpt_path, batch_size, precision)
+    w, h = input_specs.width, input_specs.height
+
+    if warmup:
+        t0 = perf_counter()
+        runner(np.zeros((batch_size, h, w, 3), np.uint8))
+        print(f'serve: warmup forward compiled in {perf_counter() - t0:.1f}s',
+              file=sys.stderr)
+
+    batcher = Microbatcher(runner, batch_size, max_wait_ms / 1000.0)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet per-request stderr spam
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._json(200, {'status': 'ok'})
+            else:
+                self._json(404, {'error': 'unknown path'})
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._json(404, {'error': 'unknown path'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                data = self.rfile.read(length)
+                image = PIL.Image.open(io.BytesIO(data))
+            except Exception:
+                self._json(400, {'error': 'body must be a decodable image'})
+                return
+            t0 = perf_counter()
+            item = batcher.submit(letterbox_uint8(image, w, h))
+            item.event.wait()
+            if item.error is not None:
+                self._json(500, {'error': str(item.error)})
+                return
+            self._json(200, {
+                'skeleton': 'canonical-17',
+                'joints': {name: [float(v) for v in xyz]
+                           for name, xyz in zip(joint_names, item.result)},
+                'batched_with': item.batched_with,
+                'latency_ms': round((perf_counter() - t0) * 1000.0, 3),
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        prog='margipose-serve', description='batched HTTP inference server',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('--model', type=str, metavar='FILE', required=True,
+                        help='path to model file (.pth or orbax dir)')
+    parser.add_argument('--host', type=str, default='0.0.0.0')
+    parser.add_argument('--port', type=int, default=8800)
+    parser.add_argument('--batch-size', type=int, default=8,
+                        help='microbatch size (the one compiled batch shape)')
+    parser.add_argument('--max-wait-ms', type=float, default=5.0,
+                        help='max time to hold a request open for batching')
+    parser.add_argument('--precision', type=str, default='bfloat16',
+                        choices=['float32', 'bfloat16'],
+                        help='compute dtype (bfloat16 is the throughput mode)')
+    return parser.parse_args(argv[1:])
+
+
+def main(argv, common_opts):
+    args = parse_args(argv)
+    server = create_server(
+        args.model, host=args.host, port=args.port,
+        batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        precision=args.precision)
+    host, port = server.server_address[:2]
+    print(f'serving on http://{host}:{port} '
+          f'(batch {args.batch_size}, {args.precision})')
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+Serve_Subcommand = Subcommand(name='serve', func=main,
+                              help='batched HTTP inference server')
+
+if __name__ == '__main__':
+    Serve_Subcommand.run()

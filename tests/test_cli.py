@@ -502,3 +502,72 @@ def test_infer_cli_multicrop(trained_ckpt, tmp_path):
     infer_main(['infer', '--model', trained_ckpt, '--image', img_file,
                 '--out-file', out_file, '--multicrop'], {'device': 'auto'})
     assert path.isfile(out_file)
+
+
+def test_serve_http(trained_ckpt):
+    """The batched HTTP serving surface (no reference equivalent): health
+    probe, two concurrent predictions through the microbatcher, and the
+    bad-body error path — all against the real serving stack in-process."""
+    import concurrent.futures
+    import json as json_mod
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import PIL.Image
+
+    from margipose_tpu.bin.serve import create_server
+    from margipose_tpu.data.synthetic import SyntheticPoseDataset
+
+    server = create_server(trained_ckpt, port=0, batch_size=2,
+                           max_wait_ms=300.0, precision='float32',
+                           warmup=True)
+    host, port = server.server_address[:2]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f'http://{host}:{port}/healthz', timeout=30) as resp:
+            assert json_mod.loads(resp.read())['status'] == 'ok'
+
+        ds = SyntheticPoseDataset(length=2)
+        bodies = []
+        for i in range(2):
+            import io as io_mod
+
+            buf = io_mod.BytesIO()
+            ds.input_to_pil_image(ds[i]['input']).save(buf, format='PNG')
+            bodies.append(buf.getvalue())
+
+        def post(body):
+            req = urllib.request.Request(
+                f'http://{host}:{port}/predict', data=body, method='POST')
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return json_mod.loads(resp.read())
+
+        # two concurrent requests share one microbatch (batch_size=2 and a
+        # generous wait window); at minimum both must return valid skeletons
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            results = list(pool.map(post, bodies))
+        for r in results:
+            assert r['skeleton'] == 'canonical-17'
+            assert len(r['joints']) == 17
+            assert all(len(v) == 3 and np.isfinite(v).all()
+                       for v in r['joints'].values())
+            assert 1 <= r['batched_with'] <= 2
+
+        # undecodable body -> 400, server stays alive
+        req = urllib.request.Request(
+            f'http://{host}:{port}/predict', data=b'not an image',
+            method='POST')
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, 'expected HTTP 400'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(
+                f'http://{host}:{port}/healthz', timeout=30) as resp:
+            assert json_mod.loads(resp.read())['status'] == 'ok'
+    finally:
+        server.shutdown()
+        server.server_close()
