@@ -309,27 +309,39 @@ def run_training(cfg: dict) -> dict:
         print(f'Resuming from epoch {start_epoch} (step {int(state.step)})')
 
     result = {}
-    for epoch in range(start_epoch, cfg['epochs']):
-        tel.epoch = epoch  # keep sink labels aligned when resuming
-        tel['epoch'].set_value(epoch)
-        print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
+    save_thread = None
+    try:
+        for epoch in range(start_epoch, cfg['epochs']):
+            tel.epoch = epoch  # keep sink labels aligned when resuming
+            tel['epoch'].set_value(epoch)
+            print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
 
-        state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
-                                 data_sharding, exp_out_dir, aug_step=aug_step,
-                                 ship_specs=ship_specs, renorm_step=renorm_step)
-        if val_loader is not None:
-            do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding,
-                               ship_specs=ship_specs, renorm_step=renorm_step)
+            state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
+                                     data_sharding, exp_out_dir, aug_step=aug_step,
+                                     ship_specs=ship_specs, renorm_step=renorm_step)
+            if val_loader is not None:
+                do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding,
+                                   ship_specs=ship_specs, renorm_step=renorm_step)
 
-        result = {
-            'train_pck': tel['train_pck'].value(),
-            'train_mpjpe': tel['train_mpjpe'].value(),
-        }
-        if exp_out_dir and (epoch + 1) % cfg['checkpoint_every'] == 0:
-            ckpt.save_checkpoint(
-                path.join(exp_out_dir, 'model-latest'), state, model_desc,
-                extra={'epoch': epoch + 1, 'train_datasets': cfg['train_datasets']})
-        tel.step()
+            result = {
+                'train_pck': tel['train_pck'].value(),
+                'train_mpjpe': tel['train_mpjpe'].value(),
+            }
+            if exp_out_dir and (epoch + 1) % cfg['checkpoint_every'] == 0:
+                if save_thread is not None:
+                    save_thread.join()  # one in-flight save per directory
+                # the device->host fetch is synchronous (the state's buffers
+                # are donated to the next epoch's steps); the disk
+                # serialisation overlaps the next epoch's compute
+                save_thread = ckpt.save_checkpoint(
+                    path.join(exp_out_dir, 'model-latest'), state, model_desc,
+                    extra={'epoch': epoch + 1,
+                           'train_datasets': cfg['train_datasets']},
+                    background=True)
+            tel.step()
+    finally:
+        if save_thread is not None:
+            save_thread.join()
 
     return result
 

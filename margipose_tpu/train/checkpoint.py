@@ -26,17 +26,25 @@ def _ocp():
     return ocp
 
 
-def save_checkpoint(ckpt_dir: str, state, model_desc: dict, extra: dict | None = None):
-    """Save train state + model_desc to ``ckpt_dir`` (overwrites).
+def _bulk_to_host(tree):
+    """One pipelined device->host fetch of the whole pytree before
+    serialisation. Orbax awaits leaves one-by-one during save, which on a
+    remote-relay runtime costs ~one round-trip per leaf — measured 792.6 s
+    for the flagship's 1,122-leaf / 463 MB train state vs 8.2 s for a
+    single ``jax.device_get`` of the same pytree (BASELINE.md
+    "Checkpoint-save path"). Multi-host sharded states keep the
+    orbax-native path: each process must write only its addressable
+    shards, which orbax coordinates itself."""
+    if jax.process_count() > 1:
+        return tree
+    return jax.device_get(tree)
 
-    Crash-safe: the new state is written to a fresh directory and swapped in
-    with renames, keeping the previous state as ``state.old`` until the new
-    one is fully on disk. A process killed mid-save therefore never loses
-    the last good checkpoint (restore falls back to ``state.old``)."""
+
+def _write_and_swap(ckpt_dir: str, payload: dict, meta: dict):
+    """Serialise ``payload`` (host arrays) and swap it in crash-safely."""
     import glob as _glob
     import shutil
 
-    ckpt_dir = path.abspath(ckpt_dir)
     ocp = _ocp()
     nxt = path.join(ckpt_dir, "state.next")
     old = path.join(ckpt_dir, "state.old")
@@ -46,25 +54,53 @@ def save_checkpoint(ckpt_dir: str, state, model_desc: dict, extra: dict | None =
     for stale in _glob.glob(path.join(ckpt_dir, "*.orbax-checkpoint-tmp*")):
         shutil.rmtree(stale, ignore_errors=True)
     with ocp.StandardCheckpointer() as ckptr:
-        payload = {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
         ckptr.save(nxt, payload)
     shutil.rmtree(old, ignore_errors=True)
     if path.isdir(final):
         os.rename(final, old)
     os.rename(nxt, final)
-    meta = {"model_desc": model_desc}
-    if extra:
-        meta.update(extra)
     meta_tmp = path.join(ckpt_dir, "meta.json.tmp")
     with open(meta_tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
     os.replace(meta_tmp, path.join(ckpt_dir, "meta.json"))
     shutil.rmtree(old, ignore_errors=True)
+
+
+def save_checkpoint(ckpt_dir: str, state, model_desc: dict,
+                    extra: dict | None = None, background: bool = False):
+    """Save train state + model_desc to ``ckpt_dir`` (overwrites).
+
+    Crash-safe: the new state is written to a fresh directory and swapped in
+    with renames, keeping the previous state as ``state.old`` until the new
+    one is fully on disk. A process killed mid-save therefore never loses
+    the last good checkpoint (restore falls back to ``state.old``).
+
+    With ``background=True`` the device->host fetch still happens
+    synchronously (the state's buffers may be donated to the next train
+    step), but the disk serialisation + swap run in a returned daemon
+    thread — callers MUST ``.join()`` it before starting another save to
+    the same directory and before relying on the checkpoint being on disk.
+    Returns the thread, or None when synchronous."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    payload = _bulk_to_host({
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    })
+    meta = {"model_desc": model_desc}
+    if extra:
+        meta.update(extra)
+    if background:
+        import threading
+
+        thread = threading.Thread(
+            target=_write_and_swap, args=(ckpt_dir, payload, meta),
+            daemon=True)
+        thread.start()
+        return thread
+    _write_and_swap(ckpt_dir, payload, meta)
+    return None
 
 
 def _state_dir_with_fallback(ckpt_dir: str) -> str:
@@ -110,7 +146,8 @@ def save_model(ckpt_dir: str, variables, model_desc: dict):
     ckpt_dir = path.abspath(ckpt_dir)
     ocp = _ocp()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path.join(ckpt_dir, "variables"), dict(variables), force=True)
+        ckptr.save(path.join(ckpt_dir, "variables"),
+                   _bulk_to_host(dict(variables)), force=True)
     with open(path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump({"model_desc": model_desc}, f, indent=2, sort_keys=True)
 

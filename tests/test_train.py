@@ -241,3 +241,43 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(param_tp, param_ref, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(bs_dp, bs_ref, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(bs_tp, bs_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_background_save(tmp_path):
+    """background=True fetches the state synchronously (buffers may be
+    donated to the next step) and serialises on a returned thread; after
+    join(), the checkpoint restores identically to a synchronous save, and
+    sequential background saves to one directory are safe when joined
+    between (the train-loop contract)."""
+    from margipose_tpu.train.checkpoint import (
+        load_meta,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    desc = {'type': 'margipose', 'version': '6.0.1',
+            'settings': {'n_stages': 1, 'feature_extractor': 'resnet18'}}
+    ckpt_dir = str(tmp_path / 'ckpt')
+
+    thread = save_checkpoint(ckpt_dir, state, desc, extra={'epoch': 1},
+                             background=True)
+    assert thread is not None
+    thread.join()
+    assert load_meta(ckpt_dir)['epoch'] == 1
+
+    # second background save over the first (the per-epoch overwrite)
+    thread = save_checkpoint(ckpt_dir, state, desc, extra={'epoch': 2},
+                             background=True)
+    thread.join()
+    assert load_meta(ckpt_dir)['epoch'] == 2
+
+    template = create_train_state(
+        model, jax.random.PRNGKey(1), opt, input_shape=(1, 64, 64, 3))
+    restored = restore_checkpoint(ckpt_dir, template)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
