@@ -125,8 +125,12 @@ class BatchNorm(nn.Module):
     computes the batch mean / mean-of-squares reductions with bfloat16
     outputs instead of float32, keeping the running-stat EMA in float32 —
     the BN-reduction-traffic experiment from BASELINE.md's train-step
-    attribution. Param/collection names match nn.BatchNorm exactly
-    (scale/bias, mean/var) so checkpoints are interchangeable.
+    attribution. ``MARGIPOSE_BN_STAT_SUBSAMPLE=k`` (experimental) computes
+    batch statistics over every k-th example only (ghost-batch-norm style),
+    cutting the stat-reduction HBM read traffic by 1/k; the normalisation
+    itself still covers the full batch. Param/collection names match
+    nn.BatchNorm exactly (scale/bias, mean/var) so checkpoints are
+    interchangeable across all modes.
     """
 
     epsilon: float = 1e-5
@@ -136,13 +140,17 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cd = current_compute_dtype()
-        if (train and cd == jnp.bfloat16
-                and os.environ.get('MARGIPOSE_BN_BF16_STATS', '') not in ('', '0')):
+        sub = int(os.environ.get('MARGIPOSE_BN_STAT_SUBSAMPLE', '1') or '1')
+        bf16_stats = (cd == jnp.bfloat16
+                      and os.environ.get('MARGIPOSE_BN_BF16_STATS', '')
+                      not in ('', '0'))
+        if train and (sub > 1 or bf16_stats):
             # name matches nn.BatchNorm's auto-assigned child scope so the
             # param/stat tree is identical in both modes
-            return _Bf16StatsBN(self.epsilon, self.momentum,
-                                axis_name=self.axis_name,
-                                name='BatchNorm_0')(x)
+            return _CustomStatsBN(
+                self.epsilon, self.momentum, axis_name=self.axis_name,
+                stat_dtype=jnp.bfloat16 if bf16_stats else jnp.float32,
+                subsample=max(sub, 1), name='BatchNorm_0')(x)
         # Under a bf16 compute scope, pass dtype so the normalized output is
         # cast back to bf16 (otherwise the f32 running stats / scale promote
         # every BN output to f32, defeating mixed precision). Batch stats are
@@ -157,13 +165,19 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-class _Bf16StatsBN(nn.Module):
-    """Experimental BN body: bf16-output stat reductions, f32 EMA/normalise
-    (see BatchNorm docstring)."""
+class _CustomStatsBN(nn.Module):
+    """Experimental BN body: configurable stat-reduction dtype and batch
+    subsampling, f32 EMA/normalise (see BatchNorm docstring).
+
+    ``subsample=k`` computes mean/var over ``x[::k]`` only — an unbiased
+    (noisier) estimator of the batch statistics that reads 1/k of the
+    activation tensor in the stat reductions."""
 
     epsilon: float
     momentum: float
     axis_name: str | None = None
+    stat_dtype: Any = jnp.float32
+    subsample: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -174,10 +188,11 @@ class _Bf16StatsBN(nn.Module):
                                 lambda: jnp.zeros((feat,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((feat,), jnp.float32))
-        axes = tuple(range(x.ndim - 1))
-        xb = x.astype(jnp.bfloat16)
-        mean_b = jnp.mean(xb, axes)                    # bf16-output reduce
-        meansq_b = jnp.mean(jax.lax.square(xb), axes)  # bf16-output reduce
+        xs = x[::self.subsample] if self.subsample > 1 else x
+        axes = tuple(range(xs.ndim - 1))
+        xb = xs.astype(self.stat_dtype)
+        mean_b = jnp.mean(xb, axes)                    # stat_dtype reduce
+        meansq_b = jnp.mean(jax.lax.square(xb), axes)  # stat_dtype reduce
         mean = mean_b.astype(jnp.float32)
         meansq = meansq_b.astype(jnp.float32)
         if self.axis_name is not None:

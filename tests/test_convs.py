@@ -146,3 +146,45 @@ def test_batch_norm_matches_torch():
             jnp.asarray(scale), jnp.asarray(bias), eps=eps,
         )
         assert_allclose(to_nchw(np.asarray(actual)), expected, atol=1e-5)
+
+
+def test_batch_norm_stat_subsample(monkeypatch):
+    """MARGIPOSE_BN_STAT_SUBSAMPLE=k: ghost-batch-norm-style stats over
+    every k-th example (stat-reduction-traffic experiment, BASELINE.md
+    train-step attribution). The variable tree must be byte-identical to
+    stock nn.BatchNorm so checkpoints stay interchangeable, and the
+    normalisation must use exactly the subset statistics."""
+    import jax
+
+    from margipose_tpu.models.layers import BatchNorm
+
+    x = np.random.RandomState(0).randn(8, 4, 4, 6).astype(np.float32)
+    xj = jnp.asarray(x)
+    bn = BatchNorm()
+    stock_vars = bn.init(jax.random.PRNGKey(0), xj, train=True)
+
+    monkeypatch.setenv('MARGIPOSE_BN_STAT_SUBSAMPLE', '2')
+    sub_vars = bn.init(jax.random.PRNGKey(0), xj, train=True)
+    assert (jax.tree_util.tree_structure(stock_vars)
+            == jax.tree_util.tree_structure(sub_vars))
+
+    y, mut = bn.apply(sub_vars, xj, train=True, mutable=['batch_stats'])
+    xs = x[::2]
+    mean = xs.mean((0, 1, 2))
+    var = xs.var((0, 1, 2))  # biased, matching flax use_fast_variance
+    expected = (x - mean) / np.sqrt(var + 1e-5)
+    assert_allclose(np.asarray(y), expected, rtol=2e-4, atol=2e-4)
+    # EMA update (flax convention new = m*old + (1-m)*stat, m=0.9) must use
+    # the SUBSET statistics, starting from mean=0 / var=1
+    stats = jax.tree_util.tree_leaves(
+        {'mean': mut['batch_stats']['BatchNorm_0']['mean'],
+         'var': mut['batch_stats']['BatchNorm_0']['var']})
+    assert_allclose(np.asarray(stats[0]), 0.1 * mean, rtol=1e-4, atol=1e-5)
+    assert_allclose(np.asarray(stats[1]), 0.9 + 0.1 * var, rtol=1e-4, atol=1e-5)
+
+    monkeypatch.setenv('MARGIPOSE_BN_STAT_SUBSAMPLE', '1')
+    y_stock = bn.apply(stock_vars, xj, train=True, mutable=['batch_stats'])[0]
+    mean_f = x.mean((0, 1, 2))
+    var_f = x.var((0, 1, 2))
+    assert_allclose(np.asarray(y_stock), (x - mean_f) / np.sqrt(var_f + 1e-5),
+                    rtol=2e-4, atol=2e-4)
