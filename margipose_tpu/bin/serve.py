@@ -107,9 +107,11 @@ def letterbox_uint8(image: PIL.Image.Image, width: int,
     return canvas
 
 
-def make_runner(ckpt_path: str, batch_size: int, precision: str):
-    """Load the checkpoint and build the fixed-shape jitted forward.
-    Returns (runner, input_specs, joint_names)."""
+def make_runner(ckpt_path: str, precision: str):
+    """Load the checkpoint and build the jitted forward (the batch shape is
+    fixed by the caller: the Microbatcher always submits full
+    ``batch_size`` batches, so one executable serves all traffic).
+    Returns (runner, data_specs)."""
     import jax
     import jax.numpy as jnp
 
@@ -136,8 +138,7 @@ def make_runner(ckpt_path: str, batch_size: int, precision: str):
     def runner(batch_u8: np.ndarray) -> np.ndarray:
         return np.asarray(forward(batch_u8))
 
-    joint_names = specs.output_specs.skeleton_desc.joint_names
-    return runner, input_specs, joint_names
+    return runner, specs
 
 
 def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
@@ -146,8 +147,12 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
     """Build (but do not start) the HTTP server; ``port=0`` picks a free
     port (see ``server.server_address``). Separated from ``main`` so tests
     drive the real serving stack in-process."""
-    runner, input_specs, joint_names = make_runner(
-        ckpt_path, batch_size, precision)
+    runner, specs = make_runner(ckpt_path, precision)
+    input_specs = specs.input_specs
+    skeleton_desc = specs.output_specs.skeleton_desc
+    joint_names = skeleton_desc.joint_names
+    skeleton_label = ('canonical-%d' if skeleton_desc.canonical
+                      else 'custom-%d') % skeleton_desc.n_joints
     w, h = input_specs.width, input_specs.height
 
     if warmup:
@@ -159,6 +164,13 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
     batcher = Microbatcher(runner, batch_size, max_wait_ms / 1000.0)
 
     class Handler(BaseHTTPRequestHandler):
+        # settimeout on the connection socket: a client that declares a
+        # Content-Length and then stalls would otherwise block its handler
+        # thread in rfile.read forever (ThreadingHTTPServer spawns one
+        # thread per connection, so stuck reads accumulate unboundedly)
+        timeout = 30
+        max_body_bytes = 32 << 20
+
         def log_message(self, fmt, *args):  # quiet per-request stderr spam
             pass
 
@@ -181,20 +193,32 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
                 self._json(404, {'error': 'unknown path'})
                 return
             try:
-                length = int(self.headers.get('Content-Length', 0))
+                length = int(self.headers.get('Content-Length', 0) or 0)
+            except ValueError:
+                self._json(400, {'error': 'bad Content-Length'})
+                return
+            if length > self.max_body_bytes:
+                self._json(413, {'error': 'body exceeds %d bytes'
+                                 % self.max_body_bytes})
+                return
+            try:
                 data = self.rfile.read(length)
                 image = PIL.Image.open(io.BytesIO(data))
+                # PIL decodes lazily: open() only parses the header, so run
+                # the full decode (inside letterbox_uint8's convert) here —
+                # a truncated body must 400, not kill the connection
+                pixels = letterbox_uint8(image, w, h)
             except Exception:
                 self._json(400, {'error': 'body must be a decodable image'})
                 return
             t0 = perf_counter()
-            item = batcher.submit(letterbox_uint8(image, w, h))
+            item = batcher.submit(pixels)
             item.event.wait()
             if item.error is not None:
                 self._json(500, {'error': str(item.error)})
                 return
             self._json(200, {
-                'skeleton': 'canonical-17',
+                'skeleton': skeleton_label,
                 'joints': {name: [float(v) for v in xyz]
                            for name, xyz in zip(joint_names, item.result)},
                 'batched_with': item.batched_with,

@@ -35,9 +35,13 @@ def _bulk_to_host(tree):
     "Checkpoint-save path"). Multi-host sharded states keep the
     orbax-native path: each process must write only its addressable
     shards, which orbax coordinates itself."""
-    if jax.process_count() > 1:
+    if _is_multihost():
         return tree
     return jax.device_get(tree)
+
+
+def _is_multihost() -> bool:
+    return jax.process_count() > 1
 
 
 def _write_and_swap(ckpt_dir: str, payload: dict, meta: dict):
@@ -66,6 +70,32 @@ def _write_and_swap(ckpt_dir: str, payload: dict, meta: dict):
     shutil.rmtree(old, ignore_errors=True)
 
 
+class _BackgroundSave:
+    """Daemon save thread whose ``join()`` re-raises any save exception —
+    a silently-dead background save would let training run on with a stale
+    (or no) checkpoint on disk."""
+
+    def __init__(self, target, args):
+        import threading
+
+        self._exc: BaseException | None = None
+
+        def _run():
+            try:
+                target(*args)
+            except BaseException as exc:  # re-raised on join()
+                self._exc = exc
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    def join(self, timeout: float | None = None):
+        self._thread.join(timeout)
+        if self._exc is not None and not self._thread.is_alive():
+            exc, self._exc = self._exc, None
+            raise exc
+
+
 def save_checkpoint(ckpt_dir: str, state, model_desc: dict,
                     extra: dict | None = None, background: bool = False):
     """Save train state + model_desc to ``ckpt_dir`` (overwrites).
@@ -79,8 +109,12 @@ def save_checkpoint(ckpt_dir: str, state, model_desc: dict,
     synchronously (the state's buffers may be donated to the next train
     step), but the disk serialisation + swap run in a returned daemon
     thread — callers MUST ``.join()`` it before starting another save to
-    the same directory and before relying on the checkpoint being on disk.
-    Returns the thread, or None when synchronous."""
+    the same directory and before relying on the checkpoint being on disk;
+    ``join()`` re-raises any exception the save hit. Returns the thread
+    wrapper, or None when synchronous. Multi-host runs force a synchronous
+    save: there the payload still references live device shards (orbax must
+    see each process's addressable shards), which the next donated train
+    step would delete out from under a background writer."""
     ckpt_dir = path.abspath(ckpt_dir)
     payload = _bulk_to_host({
         "step": state.step,
@@ -91,14 +125,8 @@ def save_checkpoint(ckpt_dir: str, state, model_desc: dict,
     meta = {"model_desc": model_desc}
     if extra:
         meta.update(extra)
-    if background:
-        import threading
-
-        thread = threading.Thread(
-            target=_write_and_swap, args=(ckpt_dir, payload, meta),
-            daemon=True)
-        thread.start()
-        return thread
+    if background and not _is_multihost():
+        return _BackgroundSave(_write_and_swap, (ckpt_dir, payload, meta))
     _write_and_swap(ckpt_dir, payload, meta)
     return None
 

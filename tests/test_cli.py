@@ -556,15 +556,36 @@ def test_serve_http(trained_ckpt):
                        for v in r['joints'].values())
             assert 1 <= r['batched_with'] <= 2
 
-        # undecodable body -> 400, server stays alive
-        req = urllib.request.Request(
-            f'http://{host}:{port}/predict', data=b'not an image',
-            method='POST')
+        # bad bodies -> 4xx, server stays alive after each:
+        # - garbage bytes fail PIL.Image.open (header parse)
+        # - a TRUNCATED valid image passes open() but fails the actual
+        #   decode inside letterbox (PIL decodes lazily) -> still 400
+        for bad_body in (b'not an image', bodies[0][:len(bodies[0]) // 2]):
+            req = urllib.request.Request(
+                f'http://{host}:{port}/predict', data=bad_body,
+                method='POST')
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, 'expected HTTP 400'
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            with urllib.request.urlopen(
+                    f'http://{host}:{port}/healthz', timeout=30) as resp:
+                assert json_mod.loads(resp.read())['status'] == 'ok'
+
+        # an absurd declared Content-Length is rejected up front (413)
+        # without waiting for (or allocating) the body
+        import http.client
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
         try:
-            urllib.request.urlopen(req, timeout=30)
-            assert False, 'expected HTTP 400'
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+            conn.putrequest('POST', '/predict')
+            conn.putheader('Content-Length', str(1 << 30))
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 413
+        finally:
+            conn.close()
         with urllib.request.urlopen(
                 f'http://{host}:{port}/healthz', timeout=30) as resp:
             assert json_mod.loads(resp.read())['status'] == 'ok'

@@ -281,3 +281,50 @@ def test_checkpoint_background_save(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_background_save_failure_reraises(tmp_path):
+    """A failed background save must NOT be silent: join() re-raises the
+    save exception so the train loop exits with an error instead of
+    running on with a stale (or no) checkpoint on disk."""
+    import pytest
+
+    from margipose_tpu.train.checkpoint import save_checkpoint
+
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    desc = {'type': 'margipose', 'version': '6.0.1',
+            'settings': {'n_stages': 1, 'feature_extractor': 'resnet18'}}
+    # a plain FILE at the checkpoint path makes every directory write fail
+    bad_dir = tmp_path / 'ckpt'
+    bad_dir.write_text('not a directory')
+
+    thread = save_checkpoint(str(bad_dir), state, desc, background=True)
+    assert thread is not None
+    with pytest.raises(Exception):
+        thread.join()
+    # the exception is delivered once; a second join is a clean no-op
+    thread.join()
+
+
+def test_checkpoint_save_multihost_forces_synchronous(tmp_path, monkeypatch):
+    """On multi-host runs the payload still references live device shards
+    (each process writes only its addressable shards), which the next
+    donated train step would delete — so background=True must degrade to a
+    synchronous save there."""
+    import margipose_tpu.train.checkpoint as ckpt_mod
+
+    model = small_model()
+    opt = optax.sgd(0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+    desc = {'type': 'margipose', 'version': '6.0.1',
+            'settings': {'n_stages': 1, 'feature_extractor': 'resnet18'}}
+
+    monkeypatch.setattr(ckpt_mod, '_is_multihost', lambda: True)
+    thread = ckpt_mod.save_checkpoint(str(tmp_path / 'ckpt'), state, desc,
+                                      extra={'epoch': 1}, background=True)
+    assert thread is None  # synchronous: the save is already on disk
+    assert ckpt_mod.load_meta(str(tmp_path / 'ckpt'))['epoch'] == 1
