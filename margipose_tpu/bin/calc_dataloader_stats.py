@@ -25,11 +25,23 @@ def parse_args(argv):
     parser = argparse.ArgumentParser(description='dataloader statistics')
     parser.add_argument('--dataset', type=str, default='mpi3d-train')
     parser.add_argument('--batch-size', type=int, default=32)
-    parser.add_argument('--examples', type=int, default=512)
+    parser.add_argument('--examples', '--examples-per-epoch', type=int,
+                        default=512, dest='examples',
+                        help='examples to draw per epoch (reference name: '
+                             '--examples-per-epoch)')
+    parser.add_argument('--epochs', type=int, default=1,
+                        help='passes through the sampled examples '
+                             '(reference: calc_dataloader_stats.py --epochs)')
     parser.add_argument('--use-aug', action='store_true')
     parser.add_argument('--without-image', action='store_true',
                         help='skip image loading (geometry path only)')
-    parser.add_argument('--out-file', type=str, default='dataloader_stats.png')
+    parser.add_argument('--with-image', action='store_false',
+                        dest='without_image',
+                        help='load images (the default here; accepted for '
+                             'reference CLI compatibility)')
+    parser.add_argument('--out-file', '--output', type=str, dest='out_file',
+                        default='dataloader_stats.png',
+                        help='figure path (reference name: --output)')
     return parser.parse_args(argv[1:])
 
 
@@ -84,13 +96,14 @@ def main(argv=None):
     if not args.without_image:
         trackers['pixels'] = StatTracker(41, -3, 3)
 
-    for batch in loader:
-        target = np.asarray(batch['target'])
-        trackers['target_x'].add(target[..., 0])
-        trackers['target_y'].add(target[..., 1])
-        trackers['target_z'].add(target[..., 2])
-        if 'pixels' in trackers and 'input' in batch:
-            trackers['pixels'].add(np.asarray(batch['input']))
+    for _ in range(max(args.epochs, 1)):
+        for batch in loader:
+            target = np.asarray(batch['target'])
+            trackers['target_x'].add(target[..., 0])
+            trackers['target_y'].add(target[..., 1])
+            trackers['target_z'].add(target[..., 2])
+            if 'pixels' in trackers and 'input' in batch:
+                trackers['pixels'].add(np.asarray(batch['input']))
 
     for name, t in trackers.items():
         print(f'{name:10s} mean={t.mean:+.4f} std={t.std:.4f} n={t.n}')

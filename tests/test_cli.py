@@ -285,6 +285,16 @@ def test_calc_dataloader_stats_cli(tmp_path, capsys):
     assert 'n=272' in out
     assert path.isfile(out_file)
 
+    # reference-style flag spellings are accepted (--examples-per-epoch /
+    # --output / --with-image / --epochs) and --epochs multiplies the draws
+    out_file2 = str(tmp_path / 'stats2.png')
+    stats_main(['stats', '--dataset', 'synthetic-16', '--batch-size', '8',
+                '--examples-per-epoch', '16', '--epochs', '2',
+                '--with-image', '--output', out_file2])
+    out = capsys.readouterr().out
+    assert 'n=544' in out  # 2 epochs x 16 x 17
+    assert path.isfile(out_file2)
+
 
 def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
     """--batch-size N amortises TPU dispatch without changing metrics: the
