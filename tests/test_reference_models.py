@@ -1,0 +1,514 @@
+"""Full-model parity against the reference's OWN executable model code.
+
+``tests/test_full_model_parity.py`` proves checkpoint-conversion parity
+against a hand-built torch twin; this module removes the twin from the
+trust chain for the architecture itself by importlib-executing the ACTUAL
+reference model modules:
+
+- ``/root/reference/src/margipose/models/margipose_model.py`` — ResidualBlock,
+  HeatmapColumn (incl. the axis-permuting middle), HeatmapCombiner, the
+  multi-stage feedback loop, the in_cnn padding surgery, heatmaps_to_coords,
+  and forward_2d_losses/forward_3d_losses (reference:
+  src/margipose/models/margipose_model.py:25-267);
+- ``/root/reference/src/margipose/models/chatterbox_model.py`` — the ResNet34
+  feature extractor, the dilated _XYCnn stride->dilation surgery, both
+  _ChatterboxCnn axis-collapsing heads, and the loss heads (reference:
+  src/margipose/models/chatterbox_model.py:22-289);
+
+together with the reference's real ``dsntnn.py``, ``nn_helpers.py``,
+``model_factory.py``, ``data_specs.py`` and ``data/skeleton.py``.
+
+Only leaf DEPENDENCY surfaces absent from this environment are shimmed, and
+none of them contains reference logic under test:
+
+- ``pretrainedmodels.models.inceptionv4.inceptionv4`` returns the twin's
+  feature blocks (``torch_twin.t_inception_feature_blocks``) whose conv/pool
+  configs match pretrainedmodels' InceptionV4 features[0..6] with padding
+  already at kernel_size // 2 — the reference's own padding surgery
+  (src/margipose/models/margipose_model.py:111-117) is idempotent on them,
+  and the stem weight CONVERSION is already pinned separately
+  (tests/test_full_model_parity.py::test_inception_stem_parity);
+- ``torchvision.models.resnet`` provides a faithful BasicBlock/ResNet
+  (standard torchvision structure + state_dict naming — conv1/bn1/layerN.M/
+  downsample.{0,1}); the reference's dilation surgery then runs on it;
+- ``semantic_version`` Version/Spec (caret matching) and the 3-line
+  ``pose3d_utils.coords`` helpers.
+
+If the reference checkout is absent the tests skip.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from numpy.testing import assert_allclose  # noqa: E402
+
+from torch_twin import randomize_bn, t_inception_feature_blocks  # noqa: E402
+
+REFERENCE_SRC = "/root/reference/src/margipose"
+
+
+# --------------------------------------------------------------------- #
+# Dependency shims (no reference logic)
+# --------------------------------------------------------------------- #
+
+def _pose3d_coords_shim():
+    m = types.ModuleType("pose3d_utils.coords")
+
+    def cartesian_to_homogeneous(cart):
+        return torch.cat([cart, torch.ones_like(cart[..., :1])], -1)
+
+    def homogeneous_to_cartesian(hom):
+        return hom[..., :-1] / hom[..., -1:]
+
+    def ensure_homogeneous(coords, d):
+        if coords.size(-1) == d + 1:
+            return coords
+        assert coords.size(-1) == d
+        return cartesian_to_homogeneous(coords)
+
+    def ensure_cartesian(coords, d):
+        if coords.size(-1) == d:
+            return coords
+        assert coords.size(-1) == d + 1
+        return homogeneous_to_cartesian(coords)
+
+    m.cartesian_to_homogeneous = cartesian_to_homogeneous
+    m.homogeneous_to_cartesian = homogeneous_to_cartesian
+    m.ensure_homogeneous = ensure_homogeneous
+    m.ensure_cartesian = ensure_cartesian
+    return m
+
+
+def _semantic_version_shim():
+    """Version + caret-Spec, the only semantic_version surface model_factory
+    touches (reference: src/margipose/model_factory.py:1-13)."""
+    m = types.ModuleType("semantic_version")
+
+    class Version:
+        def __init__(self, s):
+            self.major, self.minor, self.patch = (int(p) for p in
+                                                  str(s).split(".")[:3])
+
+        def _key(self):
+            return (self.major, self.minor, self.patch)
+
+    class Spec:
+        def __init__(self, expr):
+            assert expr.startswith("^"), expr
+            self.base = Version(expr[1:])
+
+        def match(self, version):
+            if not isinstance(version, Version):
+                version = Version(version)
+            return (version.major == self.base.major
+                    and version._key() >= self.base._key())
+
+        def __contains__(self, version):
+            return self.match(version)
+
+    m.Version, m.Spec = Version, Spec
+    return m
+
+
+def _conv3x3(in_planes, planes, stride=1):
+    return nn.Conv2d(in_planes, planes, 3, stride=stride, padding=1,
+                     bias=False)
+
+
+class _TvBasicBlock(nn.Module):
+    """torchvision.models.resnet.BasicBlock structure + state_dict names."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = _conv3x3(inplanes, planes, stride)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = _conv3x3(planes, planes)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TvResNet(nn.Module):
+    def __init__(self, layers):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2)
+        self.layer4 = self._make_layer(512, layers[3], stride=2)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+        layers = [_TvBasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        layers += [_TvBasicBlock(planes, planes) for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+
+def _torchvision_shims():
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+    tv_resnet.BasicBlock = _TvBasicBlock
+    tv_resnet.resnet18 = lambda pretrained=False, **kw: _TvResNet([2, 2, 2, 2])
+    tv_resnet.resnet34 = lambda pretrained=False, **kw: _TvResNet([3, 4, 6, 3])
+    tv_models.resnet = tv_resnet
+    tv_models.resnet18 = tv_resnet.resnet18
+    tv_models.resnet34 = tv_resnet.resnet34
+    tv.models = tv_models
+
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_tf = types.ModuleType("torchvision.transforms.functional")
+
+    def to_tensor(img):
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    def to_pil_image(tensor):
+        import PIL.Image
+        arr = np.clip(tensor.numpy().transpose(1, 2, 0) * 255.0, 0, 255)
+        return PIL.Image.fromarray(arr.astype(np.uint8))
+
+    tv_tf.to_tensor = to_tensor
+    tv_tf.to_pil_image = to_pil_image
+    tv_transforms.functional = tv_tf
+    tv.transforms = tv_transforms
+    return {
+        "torchvision": tv,
+        "torchvision.models": tv_models,
+        "torchvision.models.resnet": tv_resnet,
+        "torchvision.transforms": tv_transforms,
+        "torchvision.transforms.functional": tv_tf,
+    }
+
+
+def _pretrainedmodels_shims():
+    pm = types.ModuleType("pretrainedmodels")
+    pm_models = types.ModuleType("pretrainedmodels.models")
+    pm_iv4 = types.ModuleType("pretrainedmodels.models.inceptionv4")
+
+    def inceptionv4(num_classes=1000, pretrained="imagenet"):
+        return types.SimpleNamespace(
+            features=nn.ModuleList(t_inception_feature_blocks()))
+
+    pm_iv4.inceptionv4 = inceptionv4
+    pm_models.inceptionv4 = pm_iv4
+    pm.models = pm_models
+    return {
+        "pretrainedmodels": pm,
+        "pretrainedmodels.models": pm_models,
+        "pretrainedmodels.models.inceptionv4": pm_iv4,
+    }
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Execute the ACTUAL reference model modules; yields
+    (margipose_model, chatterbox_model) module objects."""
+    needed = [
+        "dsntnn.py", "nn_helpers.py", "model_factory.py", "data_specs.py",
+        os.path.join("data", "skeleton.py"),
+        os.path.join("models", "margipose_model.py"),
+        os.path.join("models", "chatterbox_model.py"),
+    ]
+    if not all(os.path.isfile(os.path.join(REFERENCE_SRC, f)) for f in needed):
+        pytest.skip("reference model modules not found")
+
+    keys = (
+        "pose3d_utils", "pose3d_utils.coords", "semantic_version",
+        "torchvision", "torchvision.models", "torchvision.models.resnet",
+        "torchvision.transforms", "torchvision.transforms.functional",
+        "pretrainedmodels", "pretrainedmodels.models",
+        "pretrainedmodels.models.inceptionv4",
+        "margipose", "margipose.data", "margipose.data.skeleton",
+        "margipose.dsntnn", "margipose.nn_helpers", "margipose.data_specs",
+        "margipose.model_factory", "margipose.models",
+        "margipose.models.margipose_model",
+        "margipose.models.chatterbox_model",
+    )
+    saved = {k: sys.modules.get(k) for k in keys}
+    try:
+        p3u = types.ModuleType("pose3d_utils")
+        coords = _pose3d_coords_shim()
+        p3u.coords = coords
+        sys.modules["pose3d_utils"] = p3u
+        sys.modules["pose3d_utils.coords"] = coords
+        sys.modules["semantic_version"] = _semantic_version_shim()
+        sys.modules.update(_torchvision_shims())
+        sys.modules.update(_pretrainedmodels_shims())
+
+        pkg = types.ModuleType("margipose")
+        pkg.__path__ = [REFERENCE_SRC]
+        sys.modules["margipose"] = pkg
+        data_pkg = types.ModuleType("margipose.data")
+        data_pkg.__path__ = [os.path.join(REFERENCE_SRC, "data")]
+        sys.modules["margipose.data"] = data_pkg
+        models_pkg = types.ModuleType("margipose.models")
+        models_pkg.__path__ = [os.path.join(REFERENCE_SRC, "models")]
+        sys.modules["margipose.models"] = models_pkg
+
+        def load(mod_name, rel_path):
+            spec = importlib.util.spec_from_file_location(
+                mod_name, os.path.join(REFERENCE_SRC, rel_path))
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = module
+            spec.loader.exec_module(module)
+            return module
+
+        load("margipose.dsntnn", "dsntnn.py")
+        load("margipose.nn_helpers", "nn_helpers.py")
+        load("margipose.data.skeleton", os.path.join("data", "skeleton.py"))
+        load("margipose.data_specs", "data_specs.py")
+        load("margipose.model_factory", "model_factory.py")
+        ref_mm = load("margipose.models.margipose_model",
+                      os.path.join("models", "margipose_model.py"))
+        ref_cb = load("margipose.models.chatterbox_model",
+                      os.path.join("models", "chatterbox_model.py"))
+        yield ref_mm, ref_cb
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+# --------------------------------------------------------------------- #
+# MargiPose
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def ref_margipose(ref_models):
+    """Reference MargiPoseModel (2 stages, inceptionv4 stem), built by the
+    reference's own factory, with randomized BN stats, in eval mode."""
+    ref_mm, _ = ref_models
+    torch.manual_seed(42)
+    model = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 2, "axis_permutation": True,
+                     "feature_extractor": "inceptionv4",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(model, seed=21)
+    return model
+
+
+@pytest.fixture(scope="module")
+def margipose_flax(ref_margipose):
+    """Our flax MargiPose loaded with the reference model's state_dict
+    through the production converter."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    model = MargiPoseModel(n_joints=17, n_stages=2,
+                           feature_extractor="inceptionv4")
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = convert_state_dict(template, ref_margipose.state_dict())
+    return model, jax.tree.map(jnp.asarray, variables)
+
+
+def test_margipose_forward_matches_reference_exec(ref_margipose,
+                                                  margipose_flax):
+    """Coordinates + all per-stage heatmaps vs the reference's own forward
+    (reference: src/margipose/models/margipose_model.py:179-267)."""
+    model, variables = margipose_flax
+
+    x = np.random.RandomState(5).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        exp_xyz = ref_margipose(torch.from_numpy(x))
+
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    # atol 1e-4 (vs 1e-5 in the twin-based suite): this fixture's freshly
+    # initialised weights + randomized BN produce near-saturated softmax rows
+    # where XLA-vs-torch conv reduction ordering shows up as ~2e-5 absolute
+    # (<=5e-5 relative) wiggle on a handful of elements.
+    for t in range(2):
+        assert_allclose(np.asarray(out.xy_heatmaps[t]),
+                        ref_margipose.xy_heatmaps[t].numpy(),
+                        atol=1e-4, err_msg=f"xy heatmaps stage {t}")
+        assert_allclose(np.asarray(out.zy_heatmaps[t]),
+                        ref_margipose.zy_heatmaps[t].numpy(),
+                        atol=1e-4, err_msg=f"zy heatmaps stage {t}")
+        assert_allclose(np.asarray(out.xz_heatmaps[t]),
+                        ref_margipose.xz_heatmaps[t].numpy(),
+                        atol=1e-4, err_msg=f"xz heatmaps stage {t}")
+    assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-4)
+
+
+def test_margipose_losses_match_reference_exec(ref_margipose, margipose_flax):
+    """forward_3d_losses / forward_2d_losses vs our loss heads on the same
+    weights + inputs (reference: src/margipose/models/margipose_model.py:223-252)."""
+    from margipose_tpu.models.margipose import (
+        margipose_2d_losses,
+        margipose_3d_losses,
+    )
+
+    model, variables = margipose_flax
+    x = np.random.RandomState(6).randn(2, 3, 64, 64).astype(np.float32)
+    rng = np.random.RandomState(7)
+    target = rng.uniform(-0.9, 0.9, size=(2, 17, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_xyz = ref_margipose(torch.from_numpy(x))
+        ref_3d = ref_margipose.forward_3d_losses(
+            t_xyz, torch.from_numpy(target)).numpy()
+        ref_2d = ref_margipose.forward_2d_losses(
+            t_xyz, torch.from_numpy(target)).numpy()
+
+    _, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    got_3d = np.asarray(margipose_3d_losses(out, jnp.asarray(target)))
+    got_2d = np.asarray(margipose_2d_losses(out, jnp.asarray(target)))
+
+    assert_allclose(got_3d, ref_3d, rtol=1e-4, atol=1e-5)
+    assert_allclose(got_2d, ref_2d, rtol=1e-4, atol=1e-5)
+
+
+def test_twin_matches_reference_exec(ref_margipose):
+    """The hand-built twin must strict-load the reference model's state_dict
+    and produce identical outputs — pinning the twin (which the rest of the
+    parity suite rests on) to the reference's own executable architecture."""
+    from torch_twin import TMargiPose
+
+    twin = TMargiPose(n_joints=17, n_stages=2)
+    twin.load_state_dict(ref_margipose.state_dict(), strict=True)
+    twin.eval()
+
+    x = torch.from_numpy(
+        np.random.RandomState(8).randn(2, 3, 64, 64).astype(np.float32))
+    with torch.no_grad():
+        exp_xyz = ref_margipose(x)
+        got_xyz, (got_xy, got_zy, got_xz) = twin(x)
+
+    assert_allclose(got_xyz.numpy(), exp_xyz.numpy(), atol=1e-6)
+    for t in range(2):
+        assert_allclose(got_xy[t].numpy(),
+                        ref_margipose.xy_heatmaps[t].numpy(), atol=1e-6)
+        assert_allclose(got_zy[t].numpy(),
+                        ref_margipose.zy_heatmaps[t].numpy(), atol=1e-6)
+        assert_allclose(got_xz[t].numpy(),
+                        ref_margipose.xz_heatmaps[t].numpy(), atol=1e-6)
+
+
+def test_margipose_resnet18_stem_matches_reference_exec(ref_models):
+    """The resnet feature-extractor path, including the reference's stem
+    truncation (conv1..layer2, reference:
+    src/margipose/models/margipose_model.py:119-138)."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    ref_mm, _ = ref_models
+    torch.manual_seed(43)
+    ref = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 1, "axis_permutation": True,
+                     "feature_extractor": "resnet18",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(ref, seed=22)
+
+    model = MargiPoseModel(n_joints=17, n_stages=1,
+                           feature_extractor="resnet18")
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree.map(
+        jnp.asarray, convert_state_dict(template, ref.state_dict()))
+
+    x = np.random.RandomState(9).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        exp_xyz = ref(torch.from_numpy(x))
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    # atol rationale: see test_margipose_forward_matches_reference_exec
+    assert_allclose(np.asarray(out.xy_heatmaps[0]),
+                    ref.xy_heatmaps[0].numpy(), atol=1e-4)
+    assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# Chatterbox
+# --------------------------------------------------------------------- #
+
+def test_chatterbox_matches_reference_exec(ref_models):
+    """Forward + loss parity against the reference's own ChatterboxModel —
+    covers the _XYCnn stride->dilation surgery on torchvision layer3/4 and
+    both axis-collapsing _ChatterboxCnn heads at the only resolution the
+    architecture admits (256x256; the (1,8) collapse kernels require 32x32
+    features; reference: src/margipose/models/chatterbox_model.py:86-220)."""
+    from margipose_tpu.models import Default_Chatterbox_Desc, create_model
+    from margipose_tpu.models.chatterbox import (
+        chatterbox_2d_losses,
+        chatterbox_3d_losses,
+    )
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    _, ref_cb = ref_models
+    torch.manual_seed(44)
+    ref = ref_cb.ChatterboxModelFactory().create(
+        dict(Default_Chatterbox_Desc)).eval()
+    randomize_bn(ref, seed=23)
+
+    model = create_model(Default_Chatterbox_Desc)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    variables = jax.tree.map(
+        jnp.asarray, convert_state_dict(template, ref.state_dict()))
+
+    x = np.random.RandomState(10).randn(1, 3, 256, 256).astype(np.float32)
+    rng = np.random.RandomState(12)
+    target = rng.uniform(-0.9, 0.9, size=(1, 17, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_xyz = ref(torch.from_numpy(x))
+        ref_3d = ref.forward_3d_losses(t_xyz, torch.from_numpy(target)).numpy()
+        ref_2d = ref.forward_2d_losses(t_xyz, torch.from_numpy(target)).numpy()
+
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    assert_allclose(np.asarray(out.xy_heatmaps[-1]),
+                    ref.xy_heatmaps[-1].numpy(), atol=1e-5)
+    assert_allclose(np.asarray(out.zy_heatmaps[-1]),
+                    ref.zy_heatmaps[-1].numpy(), atol=1e-5)
+    assert_allclose(np.asarray(out.xz_heatmaps[-1]),
+                    ref.xz_heatmaps[-1].numpy(), atol=1e-5)
+    assert_allclose(np.asarray(xyz), t_xyz.numpy(), atol=1e-5)
+
+    got_3d = np.asarray(chatterbox_3d_losses(out, jnp.asarray(target)))
+    got_2d = np.asarray(chatterbox_2d_losses(out, jnp.asarray(target)))
+    assert_allclose(got_3d, ref_3d, rtol=1e-4, atol=1e-5)
+    assert_allclose(got_2d, ref_2d, rtol=1e-4, atol=1e-5)
