@@ -9,6 +9,11 @@ rebuild).
 Endpoints:
     POST /predict   image bytes (JPEG/PNG/...) -> JSON normalized skeleton
     GET  /healthz   liveness probe -> {"status": "ok"}
+    GET  /info      model/server configuration (type, version, input size,
+                    skeleton joints, batch size, precision)
+    GET  /metrics   serving counters + latency quantiles over a sliding
+                    window (requests/rejected/errors, batch occupancy,
+                    p50/p95/max latency_ms)
 
 Requests are **microbatched**: a dispatcher thread collects up to
 ``--batch-size`` in-flight requests (waiting at most ``--max-wait-ms`` after
@@ -38,6 +43,69 @@ import PIL.Image
 from margipose_tpu.cli import Subcommand
 
 
+class ServingStats:
+    """Thread-safe serving counters + bounded reservoirs for quantiles.
+
+    The reservoirs keep the most recent ``window`` observations so /metrics
+    reflects current behaviour (a deploy's cold-start spike ages out) and
+    memory stays O(window) regardless of uptime.
+    """
+
+    def __init__(self, window: int = 1024):
+        import collections
+
+        self._lock = threading.Lock()
+        self.window = window
+        self.requests_total = 0
+        self.rejected_total = 0
+        self.errors_total = 0
+        self.batches_total = 0
+        self.batched_images_total = 0
+        self._latencies_ms = collections.deque(maxlen=window)
+        self._occupancies = collections.deque(maxlen=window)
+
+    def record_request(self, latency_ms: float):
+        with self._lock:
+            self.requests_total += 1
+            self._latencies_ms.append(latency_ms)
+
+    def record_rejected(self):
+        with self._lock:
+            self.rejected_total += 1
+
+    def record_error(self):
+        with self._lock:
+            self.errors_total += 1
+
+    def record_batch(self, n_items: int):
+        with self._lock:
+            self.batches_total += 1
+            self.batched_images_total += n_items
+            self._occupancies.append(n_items)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies_ms)
+            occ = list(self._occupancies)
+            out = {
+                'requests_total': self.requests_total,
+                'rejected_total': self.rejected_total,
+                'errors_total': self.errors_total,
+                'batches_total': self.batches_total,
+                'batched_images_total': self.batched_images_total,
+                'window': self.window,
+            }
+        if lat:
+            out['latency_ms'] = {
+                'p50': round(lat[len(lat) // 2], 3),
+                'p95': round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3),
+                'max': round(lat[-1], 3),
+            }
+        if occ:
+            out['batch_occupancy_mean'] = round(sum(occ) / len(occ), 3)
+        return out
+
+
 class _Pending:
     __slots__ = ('image', 'event', 'result', 'error', 'batched_with')
 
@@ -53,10 +121,12 @@ class Microbatcher:
     """Collects requests into fixed-size batches for a single jitted
     forward. ``runner`` maps a uint8 [B,H,W,3] array to [B,J,3] coords."""
 
-    def __init__(self, runner, batch_size: int, max_wait_s: float):
+    def __init__(self, runner, batch_size: int, max_wait_s: float,
+                 on_batch=None):
         self.runner = runner
         self.batch_size = batch_size
         self.max_wait_s = max_wait_s
+        self.on_batch = on_batch
         self.queue: queue.Queue[_Pending] = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -86,6 +156,8 @@ class Microbatcher:
                 for i, it in enumerate(items):
                     it.result = coords[i]
                     it.batched_with = len(items)
+                if self.on_batch is not None:
+                    self.on_batch(len(items))
             except Exception as exc:  # surface to every waiting request
                 for it in items:
                     it.error = exc
@@ -111,7 +183,7 @@ def make_runner(ckpt_path: str, precision: str):
     """Load the checkpoint and build the jitted forward (the batch shape is
     fixed by the caller: the Microbatcher always submits full
     ``batch_size`` batches, so one executable serves all traffic).
-    Returns (runner, data_specs)."""
+    Returns (runner, data_specs, model_desc)."""
     import jax
     import jax.numpy as jnp
 
@@ -138,7 +210,7 @@ def make_runner(ckpt_path: str, precision: str):
     def runner(batch_u8: np.ndarray) -> np.ndarray:
         return np.asarray(forward(batch_u8))
 
-    return runner, specs
+    return runner, specs, model_desc
 
 
 def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
@@ -147,7 +219,7 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
     """Build (but do not start) the HTTP server; ``port=0`` picks a free
     port (see ``server.server_address``). Separated from ``main`` so tests
     drive the real serving stack in-process."""
-    runner, specs = make_runner(ckpt_path, precision)
+    runner, specs, model_desc = make_runner(ckpt_path, precision)
     input_specs = specs.input_specs
     skeleton_desc = specs.output_specs.skeleton_desc
     joint_names = skeleton_desc.joint_names
@@ -161,7 +233,19 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
         print(f'serve: warmup forward compiled in {perf_counter() - t0:.1f}s',
               file=sys.stderr)
 
-    batcher = Microbatcher(runner, batch_size, max_wait_ms / 1000.0)
+    stats = ServingStats()
+    batcher = Microbatcher(runner, batch_size, max_wait_ms / 1000.0,
+                           on_batch=stats.record_batch)
+    info = {
+        'model': {'type': model_desc.get('type'),
+                  'version': model_desc.get('version')},
+        'input': {'width': w, 'height': h},
+        'skeleton': skeleton_label,
+        'joints': list(joint_names),
+        'batch_size': batch_size,
+        'max_wait_ms': max_wait_ms,
+        'precision': precision,
+    }
 
     class Handler(BaseHTTPRequestHandler):
         # settimeout on the connection socket: a client that declares a
@@ -185,6 +269,10 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
         def do_GET(self):
             if self.path == '/healthz':
                 self._json(200, {'status': 'ok'})
+            elif self.path == '/info':
+                self._json(200, info)
+            elif self.path == '/metrics':
+                self._json(200, stats.snapshot())
             else:
                 self._json(404, {'error': 'unknown path'})
 
@@ -195,9 +283,11 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
             try:
                 length = int(self.headers.get('Content-Length', 0) or 0)
             except ValueError:
+                stats.record_rejected()
                 self._json(400, {'error': 'bad Content-Length'})
                 return
             if length > self.max_body_bytes:
+                stats.record_rejected()
                 self._json(413, {'error': 'body exceeds %d bytes'
                                  % self.max_body_bytes})
                 return
@@ -209,14 +299,17 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
                 # a truncated body must 400, not kill the connection
                 pixels = letterbox_uint8(image, w, h)
             except Exception:
+                stats.record_rejected()
                 self._json(400, {'error': 'body must be a decodable image'})
                 return
             t0 = perf_counter()
             item = batcher.submit(pixels)
             item.event.wait()
             if item.error is not None:
+                stats.record_error()
                 self._json(500, {'error': str(item.error)})
                 return
+            stats.record_request((perf_counter() - t0) * 1000.0)
             self._json(200, {
                 'skeleton': skeleton_label,
                 'joints': {name: [float(v) for v in xyz]

@@ -599,6 +599,30 @@ def test_serve_http(trained_ckpt):
         with urllib.request.urlopen(
                 f'http://{host}:{port}/healthz', timeout=30) as resp:
             assert json_mod.loads(resp.read())['status'] == 'ok'
+
+        # /info reports the model + server configuration
+        with urllib.request.urlopen(
+                f'http://{host}:{port}/info', timeout=30) as resp:
+            info = json_mod.loads(resp.read())
+        assert info['skeleton'] == 'canonical-17'
+        assert len(info['joints']) == 17
+        assert info['batch_size'] == 2
+        assert info['precision'] == 'float32'
+        assert info['input']['width'] > 0 and info['input']['height'] > 0
+        assert info['model']['type'] in ('margipose', 'chatterbox')
+
+        # /metrics counted the 2 successes, >=3 rejects, and >=1 batch
+        with urllib.request.urlopen(
+                f'http://{host}:{port}/metrics', timeout=30) as resp:
+            metrics = json_mod.loads(resp.read())
+        assert metrics['requests_total'] == 2
+        assert metrics['rejected_total'] >= 3  # 2 bad bodies + 413
+        assert metrics['errors_total'] == 0
+        assert 1 <= metrics['batches_total'] <= 2
+        assert metrics['batched_images_total'] == 2
+        lat = metrics['latency_ms']
+        assert 0 < lat['p50'] <= lat['p95'] <= lat['max']
+        assert metrics['batch_occupancy_mean'] >= 1
     finally:
         server.shutdown()
         server.server_close()
