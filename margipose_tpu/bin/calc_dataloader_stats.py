@@ -21,14 +21,34 @@ from margipose_tpu.models import default_data_specs
 from margipose_tpu.utils import seed_all
 
 
+# Reference flag spellings accepted as-is. Normalised on argv BEFORE parsing
+# (rather than registered as argparse aliases) so that prefix abbreviations
+# of the primary spellings keep working: an alias option string on the same
+# action would make e.g. '--out' ambiguous between --out-file and --output.
+_REFERENCE_FLAG_ALIASES = {
+    '--output': '--out-file',
+    '--examples-per-epoch': '--examples',
+}
+
+
+def _normalize_argv(argv):
+    out = []
+    for tok in argv:
+        if tok.startswith('--') and '=' in tok:
+            head, _, rest = tok.partition('=')
+            out.append(_REFERENCE_FLAG_ALIASES.get(head, head) + '=' + rest)
+        else:
+            out.append(_REFERENCE_FLAG_ALIASES.get(tok, tok))
+    return out
+
+
 def parse_args(argv):
     parser = argparse.ArgumentParser(description='dataloader statistics')
     parser.add_argument('--dataset', type=str, default='mpi3d-train')
     parser.add_argument('--batch-size', type=int, default=32)
-    parser.add_argument('--examples', '--examples-per-epoch', type=int,
-                        default=512, dest='examples',
-                        help='examples to draw per epoch (reference name: '
-                             '--examples-per-epoch)')
+    parser.add_argument('--examples', type=int, default=512,
+                        help='examples to draw per epoch (the reference '
+                             'spelling --examples-per-epoch is accepted)')
     parser.add_argument('--epochs', type=int, default=1,
                         help='passes through the sampled examples '
                              '(reference: calc_dataloader_stats.py --epochs)')
@@ -39,10 +59,11 @@ def parse_args(argv):
                         dest='without_image',
                         help='load images (the default here; accepted for '
                              'reference CLI compatibility)')
-    parser.add_argument('--out-file', '--output', type=str, dest='out_file',
+    parser.add_argument('--out-file', type=str,
                         default='dataloader_stats.png',
-                        help='figure path (reference name: --output)')
-    return parser.parse_args(argv[1:])
+                        help='figure path (the reference spelling --output '
+                             'is accepted)')
+    return parser.parse_args(_normalize_argv(argv[1:]))
 
 
 class StatTracker:
@@ -96,7 +117,9 @@ def main(argv=None):
     if not args.without_image:
         trackers['pixels'] = StatTracker(41, -3, 3)
 
-    for _ in range(max(args.epochs, 1)):
+    # range(epochs) exactly: --epochs 0 does zero passes, like the
+    # reference's `for epoch in range(opts.epochs)` loop
+    for _ in range(args.epochs):
         for batch in loader:
             target = np.asarray(batch['target'])
             trackers['target_x'].add(target[..., 0])

@@ -12,8 +12,10 @@ Endpoints:
     GET  /info      model/server configuration (type, version, input size,
                     skeleton joints, batch size, precision)
     GET  /metrics   serving counters + latency quantiles over a sliding
-                    window (requests/rejected/errors, batch occupancy,
-                    p50/p95/max latency_ms)
+                    window. Counters cover POST /predict traffic only:
+                    requests_total counts every received request,
+                    ok/rejected/errors split it by outcome (2xx/4xx/5xx),
+                    so error rate = errors_total / requests_total.
 
 Requests are **microbatched**: a dispatcher thread collects up to
 ``--batch-size`` in-flight requests (waiting at most ``--max-wait-ms`` after
@@ -57,6 +59,7 @@ class ServingStats:
         self._lock = threading.Lock()
         self.window = window
         self.requests_total = 0
+        self.ok_total = 0
         self.rejected_total = 0
         self.errors_total = 0
         self.batches_total = 0
@@ -64,9 +67,13 @@ class ServingStats:
         self._latencies_ms = collections.deque(maxlen=window)
         self._occupancies = collections.deque(maxlen=window)
 
-    def record_request(self, latency_ms: float):
+    def record_received(self):
         with self._lock:
             self.requests_total += 1
+
+    def record_ok(self, latency_ms: float):
+        with self._lock:
+            self.ok_total += 1
             self._latencies_ms.append(latency_ms)
 
     def record_rejected(self):
@@ -89,6 +96,7 @@ class ServingStats:
             occ = list(self._occupancies)
             out = {
                 'requests_total': self.requests_total,
+                'ok_total': self.ok_total,
                 'rejected_total': self.rejected_total,
                 'errors_total': self.errors_total,
                 'batches_total': self.batches_total,
@@ -280,6 +288,7 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
             if self.path != '/predict':
                 self._json(404, {'error': 'unknown path'})
                 return
+            stats.record_received()
             try:
                 length = int(self.headers.get('Content-Length', 0) or 0)
             except ValueError:
@@ -309,7 +318,7 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
                 stats.record_error()
                 self._json(500, {'error': str(item.error)})
                 return
-            stats.record_request((perf_counter() - t0) * 1000.0)
+            stats.record_ok((perf_counter() - t0) * 1000.0)
             self._json(200, {
                 'skeleton': skeleton_label,
                 'joints': {name: [float(v) for v in xyz]

@@ -615,8 +615,11 @@ def test_serve_http(trained_ckpt):
         with urllib.request.urlopen(
                 f'http://{host}:{port}/metrics', timeout=30) as resp:
             metrics = json_mod.loads(resp.read())
-        assert metrics['requests_total'] == 2
-        assert metrics['rejected_total'] >= 3  # 2 bad bodies + 413
+        # requests_total counts EVERY /predict received: 2 ok + 2 bad
+        # bodies + the oversize 413
+        assert metrics['requests_total'] == 5
+        assert metrics['ok_total'] == 2
+        assert metrics['rejected_total'] == 3  # 2 bad bodies + 413
         assert metrics['errors_total'] == 0
         assert 1 <= metrics['batches_total'] <= 2
         assert metrics['batched_images_total'] == 2
