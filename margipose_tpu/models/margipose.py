@@ -294,7 +294,14 @@ class MargiPoseModelInner(nn.Module):
         inp = features
         for t in range(self.n_stages):
             if t > 0:
-                inp = features + self.hm_combiners[t - 1](stacked[t - 1])
+                # ACCUMULATE into the running input (`inp = inp + ...`, NOT
+                # `features + ...`): the reference adds each stage's combined
+                # heatmap features on top of all previous ones, so stage t
+                # sees features + comb_0 + ... + comb_{t-1}. The two
+                # semantics only coincide for n_stages <= 2 (reference:
+                # src/margipose/models/margipose_model.py:187-195; pinned by
+                # tests/test_reference_models.py 4-stage parity).
+                inp = inp + self.hm_combiners[t - 1](stacked[t - 1])
             mids = self.hm_cnns_down[t](inp, train)  # [3, B, h, w, C]
             mids = jnp.stack(
                 [permute_axis_nhwc(mids[i], m) for i, m in enumerate(modes)])

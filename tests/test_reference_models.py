@@ -423,6 +423,101 @@ def test_twin_matches_reference_exec(ref_margipose):
                         ref_margipose.xz_heatmaps[t].numpy(), atol=1e-6)
 
 
+def _damp_heatmap_logits(ref_margipose_model, factor=0.05):
+    """Scale the final BatchNorms of every heatmap column so the pre-softmax
+    logits are small. With freshly initialised weights the logit spread is
+    enormous (softmax rows saturate to one-hot), where any fp-reassociation
+    wiggle flips the argmax and a parity comparison measures chaos rather
+    than wiring. Damping makes the comparison well-conditioned; both sides
+    receive the SAME damped weights through the state_dict."""
+    with torch.no_grad():
+        inner = ref_margipose_model.inner
+        for cnns in (inner.xy_hm_cnns, inner.zy_hm_cnns, inner.xz_hm_cnns):
+            for col in cnns:
+                last = col.up_layers[4]
+                for bn in (last.module[4], last.shortcut[1]):
+                    bn.weight.mul_(factor)
+                    bn.bias.mul_(factor)
+
+
+def test_margipose_flagship_stages_match_reference_exec(ref_models):
+    """The full flagship stage count (n_stages=4) — exercises all THREE
+    HeatmapCombiners and the ACCUMULATING input feedback (`inp = inp +
+    combined`), which the 2-stage fixture cannot distinguish from
+    `features + combined` (reference:
+    src/margipose/models/margipose_model.py:172-198). This test caught that
+    exact divergence. Run at 64px where the per-stage logic is identical
+    and the test stays cheap, with damped heatmap logits (see
+    _damp_heatmap_logits) so stage-to-stage feedback compares wiring, not
+    softmax-saturation chaos."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    ref_mm, _ = ref_models
+    torch.manual_seed(45)
+    ref = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 4, "axis_permutation": True,
+                     "feature_extractor": "inceptionv4",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(ref, seed=24)
+    _damp_heatmap_logits(ref)
+
+    model = MargiPoseModel(n_joints=17, n_stages=4,
+                           feature_extractor="inceptionv4")
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree.map(
+        jnp.asarray, convert_state_dict(template, ref.state_dict()))
+
+    x = np.random.RandomState(13).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        exp_xyz = ref(torch.from_numpy(x))
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    for t in range(4):
+        assert_allclose(np.asarray(out.xy_heatmaps[t]),
+                        ref.xy_heatmaps[t].numpy(), atol=1e-5,
+                        err_msg=f"xy heatmaps stage {t}")
+        assert_allclose(np.asarray(out.zy_heatmaps[t]),
+                        ref.zy_heatmaps[t].numpy(), atol=1e-5,
+                        err_msg=f"zy heatmaps stage {t}")
+    assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-5)
+
+
+def test_twin_flagship_stages_match_reference_exec(ref_models):
+    """The torch twin must track the reference's accumulating feedback at 4
+    stages too (strict-load + output agreement)."""
+    from torch_twin import TMargiPose
+
+    ref_mm, _ = ref_models
+    torch.manual_seed(46)
+    ref = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 4, "axis_permutation": True,
+                     "feature_extractor": "inceptionv4",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(ref, seed=25)
+    _damp_heatmap_logits(ref)
+
+    twin = TMargiPose(n_joints=17, n_stages=4)
+    twin.load_state_dict(ref.state_dict(), strict=True)
+    twin.eval()
+
+    x = torch.from_numpy(
+        np.random.RandomState(14).randn(1, 3, 64, 64).astype(np.float32))
+    with torch.no_grad():
+        exp_xyz = ref(x)
+        got_xyz, (got_xy, _, _) = twin(x)
+    assert_allclose(got_xyz.numpy(), exp_xyz.numpy(), atol=1e-6)
+    for t in range(4):
+        assert_allclose(got_xy[t].numpy(),
+                        ref.xy_heatmaps[t].numpy(), atol=1e-6)
+
+
 def test_margipose_resnet18_stem_matches_reference_exec(ref_models):
     """The resnet feature-extractor path, including the reference's stem
     truncation (conv1..layer2, reference:

@@ -257,7 +257,10 @@ class TMargiPoseInner(nn.Module):
         inp = features
         for t in range(self.n_stages):
             if t > 0:
-                inp = features + self.hm_combiners[t - 1](
+                # accumulating, like the reference's `inp = inp + combined`
+                # (src/margipose/models/margipose_model.py:195) — distinct
+                # from `features + combined` only for n_stages >= 3
+                inp = inp + self.hm_combiners[t - 1](
                     xy_hms[t - 1], zy_hms[t - 1], xz_hms[t - 1])
             xy_hms.append(t_flat_softmax(self.xy_hm_cnns[t](inp)))
             zy_hms.append(t_flat_softmax(self.zy_hm_cnns[t](inp)))
