@@ -149,9 +149,39 @@ class _TvBasicBlock(nn.Module):
         return self.relu(out + identity)
 
 
-class _TvResNet(nn.Module):
-    def __init__(self, layers):
+class _TvBottleneck(nn.Module):
+    """torchvision.models.resnet.Bottleneck structure + state_dict names
+    (post-1.0 convention: the stride sits on conv2)."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
         super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TvResNet(nn.Module):
+    def __init__(self, layers, block=_TvBasicBlock):
+        super().__init__()
+        self.block = block
         self.inplanes = 64
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -163,15 +193,18 @@ class _TvResNet(nn.Module):
         self.layer4 = self._make_layer(512, layers[3], stride=2)
 
     def _make_layer(self, planes, blocks, stride=1):
+        out_planes = planes * self.block.expansion
         downsample = None
-        if stride != 1 or self.inplanes != planes:
+        if stride != 1 or self.inplanes != out_planes:
             downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(planes),
+                nn.Conv2d(self.inplanes, out_planes, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(out_planes),
             )
-        layers = [_TvBasicBlock(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes
-        layers += [_TvBasicBlock(planes, planes) for _ in range(blocks - 1)]
+        layers = [self.block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = out_planes
+        layers += [self.block(self.inplanes, planes)
+                   for _ in range(blocks - 1)]
         return nn.Sequential(*layers)
 
 
@@ -180,11 +213,15 @@ def _torchvision_shims():
     tv_models = types.ModuleType("torchvision.models")
     tv_resnet = types.ModuleType("torchvision.models.resnet")
     tv_resnet.BasicBlock = _TvBasicBlock
+    tv_resnet.Bottleneck = _TvBottleneck
     tv_resnet.resnet18 = lambda pretrained=False, **kw: _TvResNet([2, 2, 2, 2])
     tv_resnet.resnet34 = lambda pretrained=False, **kw: _TvResNet([3, 4, 6, 3])
+    tv_resnet.resnet50 = lambda pretrained=False, **kw: _TvResNet(
+        [3, 4, 6, 3], block=_TvBottleneck)
     tv_models.resnet = tv_resnet
     tv_models.resnet18 = tv_resnet.resnet18
     tv_models.resnet34 = tv_resnet.resnet34
+    tv_models.resnet50 = tv_resnet.resnet50
     tv.models = tv_models
 
     tv_transforms = types.ModuleType("torchvision.transforms")
@@ -397,6 +434,77 @@ def test_margipose_losses_match_reference_exec(ref_margipose, margipose_flax):
     assert_allclose(got_2d, ref_2d, rtol=1e-4, atol=1e-5)
 
 
+def test_margipose_losses_without_pixelwise_match_reference_exec(
+        ref_margipose, margipose_flax):
+    """The pixelwise_loss=None configuration (coordinate loss only;
+    reference: src/margipose/models/margipose_model.py:215-221)."""
+    from margipose_tpu.models.margipose import (
+        margipose_2d_losses,
+        margipose_3d_losses,
+    )
+
+    model, variables = margipose_flax
+    x = np.random.RandomState(15).randn(2, 3, 64, 64).astype(np.float32)
+    target = np.random.RandomState(16).uniform(
+        -0.9, 0.9, size=(2, 17, 3)).astype(np.float32)
+
+    saved = ref_margipose.pixelwise_loss
+    try:
+        ref_margipose.pixelwise_loss = None
+        with torch.no_grad():
+            t_xyz = ref_margipose(torch.from_numpy(x))
+            ref_3d = ref_margipose.forward_3d_losses(
+                t_xyz, torch.from_numpy(target)).numpy()
+            ref_2d = ref_margipose.forward_2d_losses(
+                t_xyz, torch.from_numpy(target)).numpy()
+    finally:
+        ref_margipose.pixelwise_loss = saved
+
+    _, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    got_3d = np.asarray(margipose_3d_losses(out, jnp.asarray(target),
+                                            pixelwise_loss=None))
+    got_2d = np.asarray(margipose_2d_losses(out, jnp.asarray(target),
+                                            pixelwise_loss=None))
+    assert_allclose(got_3d, ref_3d, rtol=1e-4, atol=1e-5)
+    assert_allclose(got_2d, ref_2d, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_loss_switch_matches_reference_composition(ref_margipose,
+                                                          margipose_flax):
+    """margipose_masked_loss vectorises the reference train loop's
+    per-example 3D/2D branch + masked average (reference:
+    src/margipose/bin/train_3d.py:126-142, dsntnn.py:99-121); compose that
+    from the reference model's own loss heads and assert equality."""
+    from margipose_tpu.models.margipose import margipose_masked_loss
+
+    model, variables = margipose_flax
+    x = np.random.RandomState(17).randn(4, 3, 64, 64).astype(np.float32)
+    rng = np.random.RandomState(18)
+    target = rng.uniform(-0.9, 0.9, size=(4, 17, 3)).astype(np.float32)
+    joint_mask = (rng.uniform(size=(4, 17)) > 0.25).astype(np.float32)
+    valid_depth = np.array([1, 0, 0, 1], np.int32)
+
+    with torch.no_grad():
+        t_xyz = ref_margipose(torch.from_numpy(x))
+        ref_3d = ref_margipose.forward_3d_losses(
+            t_xyz, torch.from_numpy(target)).numpy()
+        ref_2d = ref_margipose.forward_2d_losses(
+            t_xyz, torch.from_numpy(target)).numpy()
+    per_joint = np.where(valid_depth[:, None] == 1, ref_3d, ref_2d)
+    # the reference's masked average_loss: sum(losses*mask)/max(sum(mask),1)
+    # (pinned to dsntnn.average_loss in tests/test_reference_parity.py)
+    expected = float((per_joint * joint_mask).sum()
+                     / max(joint_mask.sum(), 1.0))
+
+    _, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    got = float(margipose_masked_loss(
+        out, jnp.asarray(target), jnp.asarray(joint_mask),
+        jnp.asarray(valid_depth)))
+    assert_allclose(got, expected, rtol=1e-4)
+
+
 def test_twin_matches_reference_exec(ref_margipose):
     """The hand-built twin must strict-load the reference model's state_dict
     and produce identical outputs — pinning the twin (which the rest of the
@@ -552,6 +660,83 @@ def test_margipose_resnet18_stem_matches_reference_exec(ref_models):
     assert_allclose(np.asarray(out.xy_heatmaps[0]),
                     ref.xy_heatmaps[0].numpy(), atol=1e-4)
     assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-4)
+
+
+def test_margipose_no_axis_permutation_matches_reference_exec(ref_models):
+    """axis_permutation=False: all three columns run in xy space (reference:
+    src/margipose/models/margipose_model.py:164-177) — previously untested
+    against anything."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    ref_mm, _ = ref_models
+    torch.manual_seed(47)
+    ref = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 2, "axis_permutation": False,
+                     "feature_extractor": "resnet18",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(ref, seed=26)
+    _damp_heatmap_logits(ref)
+
+    model = MargiPoseModel(n_joints=17, n_stages=2, axis_permutation=False,
+                           feature_extractor="resnet18")
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree.map(
+        jnp.asarray, convert_state_dict(template, ref.state_dict()))
+
+    x = np.random.RandomState(19).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        exp_xyz = ref(torch.from_numpy(x))
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    for t in range(2):
+        assert_allclose(np.asarray(out.zy_heatmaps[t]),
+                        ref.zy_heatmaps[t].numpy(), atol=1e-5,
+                        err_msg=f"zy heatmaps stage {t}")
+        assert_allclose(np.asarray(out.xz_heatmaps[t]),
+                        ref.xz_heatmaps[t].numpy(), atol=1e-5,
+                        err_msg=f"xz heatmaps stage {t}")
+    assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-5)
+
+
+def test_margipose_resnet50_stem_matches_reference_exec(ref_models):
+    """The Bottleneck resnet50 stem path, including the extra 1x1->128
+    reduction the reference appends when the trunk output is not 128
+    channels (reference: src/margipose/models/margipose_model.py:119-138)."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import convert_state_dict
+
+    ref_mm, _ = ref_models
+    torch.manual_seed(48)
+    ref = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 1, "axis_permutation": True,
+                     "feature_extractor": "resnet50",
+                     "pixelwise_loss": "jsd"},
+    }).eval()
+    randomize_bn(ref, seed=27)
+    _damp_heatmap_logits(ref)
+
+    model = MargiPoseModel(n_joints=17, n_stages=1,
+                           feature_extractor="resnet50")
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree.map(
+        jnp.asarray, convert_state_dict(template, ref.state_dict()))
+
+    x = np.random.RandomState(20).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        exp_xyz = ref(torch.from_numpy(x))
+    xyz, out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    assert_allclose(np.asarray(out.xy_heatmaps[0]),
+                    ref.xy_heatmaps[0].numpy(), atol=1e-5)
+    assert_allclose(np.asarray(xyz), exp_xyz.numpy(), atol=1e-5)
 
 
 # --------------------------------------------------------------------- #
