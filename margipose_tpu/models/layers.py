@@ -121,6 +121,15 @@ class BatchNorm(nn.Module):
     Running stats live in the ``batch_stats`` collection. Set ``axis_name``
     to sync batch statistics across a mesh axis under pjit/shard_map.
 
+    Known, accepted EMA convention difference vs torch: flax accumulates the
+    BIASED batch variance into the running var, torch the Bessel-corrected
+    (unbiased) one — a factor of n/(n-1) where n = B*H*W per channel (>=32k
+    at production shapes, i.e. <=0.003% on running_var; normalisation itself
+    uses the biased variance in BOTH frameworks). Far below the checkpoint
+    parity tolerance, and not worth a custom stat path: every deviation from
+    the stock nn.BatchNorm graph measured slower on TPU (BASELINE.md
+    ghost-BN / bf16-stat experiments).
+
     ``MARGIPOSE_BN_BF16_STATS=1`` (experimental, bf16 compute scope only)
     computes the batch mean / mean-of-squares reductions with bfloat16
     outputs instead of float32, keeping the running-stat EMA in float32 —
