@@ -340,6 +340,172 @@ def ref_models():
                 sys.modules[k] = v
 
 
+@pytest.fixture(scope="module")
+def ref_datasets(ref_models):
+    """Execute the reference's ``data/__init__.py``, ``data/mpii`` and
+    ``data/h36m`` modules (on top of the ref_models import graph) and yield
+    (ref_mpii, ref_h36m).
+
+    Extra stubs, none containing logic under test: the ``pose3d_utils``
+    class NAMES data/__init__.py imports at module level (never invoked by
+    the mapping functions exercised here), ``torch._six`` (removed from
+    modern torch; just isinstance tuples), ``margipose.utils.seed_all``
+    (the reference utils.py imports plotly, absent here), and the
+    ``torchdata.mpii`` constants/class surface (annotation-reading I/O,
+    not mapping logic)."""
+    pytest.importorskip("h5py")
+    files = [
+        os.path.join(REFERENCE_SRC, "data", "__init__.py"),
+        os.path.join(REFERENCE_SRC, "data", "mpii", "__init__.py"),
+        os.path.join(REFERENCE_SRC, "data", "h36m", "__init__.py"),
+        os.path.join(REFERENCE_SRC, "eval.py"),
+    ]
+    if not all(os.path.isfile(f) for f in files):
+        pytest.skip("reference data modules not found")
+
+    from margipose_tpu.data.mpii import (
+        MPII_Joint_Horizontal_Flips,
+        MPII_Joint_Names,
+        MPII_Joint_Parents,
+    )
+
+    keys = (
+        "pose3d_utils.camera", "pose3d_utils.skeleton_normaliser",
+        "pose3d_utils.transformers", "pose3d_utils.transforms",
+        "torch._six", "torchdata", "torchdata.mpii",
+        "margipose.utils", "margipose.eval", "margipose.data",
+        "margipose.data.mpii", "margipose.data.h36m",
+    )
+    saved = {k: sys.modules.get(k) for k in keys}
+    try:
+        p3u = sys.modules["pose3d_utils"]  # registered by ref_models
+
+        camera = types.ModuleType("pose3d_utils.camera")
+
+        class CameraIntrinsics:  # name-only stub
+            def __init__(self, *a, **kw):
+                pass
+
+        camera.CameraIntrinsics = CameraIntrinsics
+        norm = types.ModuleType("pose3d_utils.skeleton_normaliser")
+
+        class SkeletonNormaliser:  # name-only stub
+            pass
+
+        norm.SkeletonNormaliser = SkeletonNormaliser
+        transformers = types.ModuleType("pose3d_utils.transformers")
+
+        class TransformerContext:  # name-only stub
+            pass
+
+        transformers.TransformerContext = TransformerContext
+        transforms = types.ModuleType("pose3d_utils.transforms")
+        for mod in (camera, norm, transformers, transforms):
+            sys.modules[mod.__name__] = mod
+            setattr(p3u, mod.__name__.split(".")[1], mod)
+
+        six = types.ModuleType("torch._six")
+        six.string_classes = (str, bytes)
+        six.int_classes = int
+        sys.modules["torch._six"] = six
+
+        td = types.ModuleType("torchdata")
+        td_mpii = types.ModuleType("torchdata.mpii")
+        td_mpii.MPII_Joint_Names = list(MPII_Joint_Names)
+        td_mpii.MPII_Joint_Parents = list(MPII_Joint_Parents)
+        td_mpii.MPII_Joint_Horizontal_Flips = list(MPII_Joint_Horizontal_Flips)
+
+        class MpiiData:  # I/O surface stub, never constructed here
+            def __init__(self, *a, **kw):
+                raise NotImplementedError
+
+        td_mpii.MpiiData = MpiiData
+        td.mpii = td_mpii
+        sys.modules["torchdata"] = td
+        sys.modules["torchdata.mpii"] = td_mpii
+
+        utils = types.ModuleType("margipose.utils")
+        utils.seed_all = lambda seed: None
+        sys.modules["margipose.utils"] = utils
+
+        def load(mod_name, rel_path, search=None):
+            full = os.path.join(REFERENCE_SRC, rel_path)
+            kwargs = ({"submodule_search_locations": [os.path.dirname(full)]}
+                      if search else {})
+            spec = importlib.util.spec_from_file_location(
+                mod_name, full, **kwargs)
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = module
+            spec.loader.exec_module(module)
+            return module
+
+        load("margipose.eval", "eval.py")
+        load("margipose.data", os.path.join("data", "__init__.py"),
+             search=True)
+        ref_mpii = load("margipose.data.mpii",
+                        os.path.join("data", "mpii", "__init__.py"))
+        ref_h36m = load("margipose.data.h36m",
+                        os.path.join("data", "h36m", "__init__.py"))
+        yield ref_mpii, ref_h36m
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_h36m_mapping_matches_reference_exec(ref_datasets):
+    """H36M 32-joint tables, action names, and the canonical gather
+    (reference: src/margipose/data/h36m/__init__.py:23-94)."""
+    from margipose_tpu.data.h36m import (
+        H36M_Actions,
+        H36MSkeletonDesc,
+        h36m_to_canonical_skeleton,
+    )
+
+    _, ref_h36m = ref_datasets
+    assert H36MSkeletonDesc.joint_names == \
+        ref_h36m.H36MSkeletonDesc.joint_names
+    assert H36MSkeletonDesc.joint_tree == ref_h36m.H36MSkeletonDesc.joint_tree
+    assert H36MSkeletonDesc.hflip_indices == \
+        ref_h36m.H36MSkeletonDesc.hflip_indices
+    assert H36M_Actions == ref_h36m.H36M_Actions
+
+    skel = np.random.RandomState(30).randn(32, 3)
+    want = ref_h36m.h36m_to_canonical_skeleton(torch.from_numpy(skel)).numpy()
+    np.testing.assert_array_equal(h36m_to_canonical_skeleton(skel), want)
+
+
+def test_mpii_mapping_matches_reference_exec(ref_datasets):
+    """MPII->canonical skeleton mapping: the gather plus the interpolated
+    'head' (0.5/0.5) and re-positioned 'spine' (0.53/0.47), and the mask
+    mapping's head invalidation rule
+    (reference: src/margipose/data/mpii/__init__.py:48-97)."""
+    from margipose_tpu.data.mpii import MpiiDataset as OurMpii
+
+    ref_mpii, _ = ref_datasets
+    skel = np.random.RandomState(31).randn(16, 3)
+    want = ref_mpii.MpiiDataset.to_canonical_skeleton(
+        object.__new__(ref_mpii.MpiiDataset), torch.from_numpy(skel),
+        force=True).numpy()
+    got = OurMpii.to_canonical_skeleton(
+        object.__new__(OurMpii), skel, force=True)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
+
+    rng = np.random.RandomState(32)
+    for trial in range(8):
+        mask = (rng.uniform(size=16) > 0.3).astype(np.float64)
+        want_m = ref_mpii.MpiiDataset.to_canonical_mask(
+            object.__new__(ref_mpii.MpiiDataset), torch.from_numpy(mask),
+            force=True).numpy()
+        got_m = OurMpii.to_canonical_mask(
+            object.__new__(OurMpii), mask, force=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_m, np.float64), want_m,
+            err_msg=f"mask trial {trial}: {mask}")
+
+
 # --------------------------------------------------------------------- #
 # MargiPose
 # --------------------------------------------------------------------- #
