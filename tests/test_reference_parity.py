@@ -517,6 +517,34 @@ def ref_preprocess():
                 sys.modules[k] = v
 
 
+def test_mpi3d_constants_match_reference(ref_preprocess):
+    """The MPI-INF-3DHP constant tables — train/val sequence splits, VNect
+    camera subset, blacklist, root joint, per-sequence metadata JSON — and
+    the 28-joint skeleton description, against the reference's own loaded
+    common.py (reference: src/margipose/data/mpi_inf_3dhp/common.py:11-70)."""
+    from margipose_tpu.data.mpi_inf_3dhp import (
+        Constants,
+        MpiInf3dhpSkeletonDesc,
+    )
+
+    ref_common = sys.modules["margipose.data.mpi_inf_3dhp.common"]
+    ref_c = ref_common.Constants
+    assert Constants['train_seqs'] == ref_c['train_seqs']
+    assert Constants['val_seqs'] == ref_c['val_seqs']
+    assert Constants['vnect_cameras'] == ref_c['vnect_cameras']
+    assert Constants['n_cameras'] == ref_c['n_cameras']
+    assert Constants['root_joint'] == ref_c['root_joint']
+    assert Constants['blacklist'] == ref_c['blacklist']
+    # seq_info: ours is loaded from the in-repo JSON, the reference's from
+    # its own packaged sequence_info.json — they must be identical
+    assert Constants['seq_info'] == ref_c['seq_info']
+
+    ref_desc = ref_common.MpiInf3dhpSkeletonDesc
+    assert MpiInf3dhpSkeletonDesc.joint_names == ref_desc.joint_names
+    assert MpiInf3dhpSkeletonDesc.joint_tree == ref_desc.joint_tree
+    assert MpiInf3dhpSkeletonDesc.hflip_indices == ref_desc.hflip_indices
+
+
 def test_univ_scale_factor_matches_reference(ref_preprocess):
     """calculate_univ_scale_factor — including torch.median's lower-middle
     convention on the (even-count) ratio array (reference:
