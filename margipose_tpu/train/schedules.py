@@ -136,5 +136,10 @@ def make_optimiser(algorithm: str, lr: float, max_iters: int = None,
         return optax.sgd(sched, momentum=0.8, nesterov=True)
     if algorithm == 'rmsprop':
         sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
-        return optax.rmsprop(sched)
+        # torch.optim.RMSprop semantics (the reference's optimiser,
+        # reference: src/margipose/train_helpers.py:75): alpha=0.99 decay
+        # and eps OUTSIDE the sqrt — optax's defaults (0.9, eps inside)
+        # differ on both counts. Trajectory-pinned to torch in
+        # tests/test_reference_parity.py.
+        return optax.rmsprop(sched, decay=0.99, eps=1e-8, eps_in_sqrt=False)
     raise ValueError(f'unrecognised optimisation algorithm: {algorithm}')

@@ -301,6 +301,106 @@ def test_1cycle_values_match_reference(ref_sched, max_iters, lr_max, momentum):
             err_msg=f"momentum mismatch at batch {k}")
 
 
+def _torch_trajectory(make_opt, n_steps, p0, step_epoch_end=None):
+    """Drive a torch optimiser on loss = 0.5*||p||^2 (grad = p) and return
+    the per-step parameter trajectory."""
+    p = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt, sched = make_opt([p])
+    traj = []
+    for k in range(n_steps):
+        opt.zero_grad()
+        (0.5 * (p ** 2).sum()).backward()
+        opt.step()
+        traj.append(p.detach().numpy().copy())
+        if sched is not None and step_epoch_end and (k + 1) % step_epoch_end == 0:
+            sched.step()
+    return np.stack(traj)
+
+
+def _optax_trajectory(tx, n_steps, p0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"p": jnp.asarray(p0)}
+    state = tx.init(params)
+    traj = []
+    for _ in range(n_steps):
+        grads = params  # grad of 0.5*||p||^2 is p
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        traj.append(np.asarray(params["p"]))
+    return np.stack(traj)
+
+
+@pytest.mark.parametrize("algorithm", ["sgd", "nesterov", "rmsprop"])
+def test_multistep_optimisers_match_torch(algorithm):
+    """The named optimiser presets must reproduce torch.optim trajectories
+    — including torch RMSprop's alpha=0.99 / eps-outside-sqrt conventions
+    and MultiStepLR's per-epoch decay (reference:
+    src/margipose/train_helpers.py:57-78). Trajectory-level: 15 steps on
+    grad = p with epoch milestones."""
+    from margipose_tpu.train.schedules import make_optimiser
+
+    torch_optim = pytest.importorskip("torch.optim")
+    lr, milestones, gamma, steps_per_epoch = 0.1, [1, 2], 0.5, 5
+    p0 = np.linspace(-2.0, 3.0, 7).astype(np.float32)
+
+    def make_opt(params):
+        if algorithm == "sgd":
+            opt = torch_optim.SGD(params, lr=lr)
+        elif algorithm == "nesterov":
+            opt = torch_optim.SGD(params, lr=lr, momentum=0.8, nesterov=True)
+        else:
+            opt = torch_optim.RMSprop(params, lr=lr)
+        sched = torch_optim.lr_scheduler.MultiStepLR(
+            opt, milestones=milestones, gamma=gamma)
+        return opt, sched
+
+    want = _torch_trajectory(make_opt, 15, p0, step_epoch_end=steps_per_epoch)
+    tx = make_optimiser(algorithm, lr, milestones=milestones, gamma=gamma,
+                        steps_per_epoch=steps_per_epoch)
+    got = _optax_trajectory(tx, 15, p0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_1cycle_sgd_trajectory_matches_reference(ref_sched):
+    """The fused 1cycle SGD update must reproduce torch.optim.SGD driven by
+    the ACTUAL reference HyperparameterScheduler, batch-for-batch (the
+    reference calls batch_step() before each optimiser step; reference:
+    src/margipose/bin/train_3d.py:155-186, hyperparam_scheduler.py:24-42)."""
+    import jax.numpy as jnp
+
+    from margipose_tpu.train.schedules import make_optimiser
+
+    torch_optim = pytest.importorskip("torch.optim")
+    max_iters, lr_max, n_steps = 40, 0.25, 40
+    p0 = np.linspace(-1.5, 2.0, 5).astype(np.float64)
+
+    p = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch_optim.SGD([p], lr=0.0, momentum=0.9)
+    sched = ref_sched.make_1cycle(opt, max_iters, lr_max, momentum=0.9)
+    want = []
+    for _ in range(n_steps):
+        sched.batch_step()
+        opt.zero_grad()
+        (0.5 * (p ** 2).sum()).backward()
+        opt.step()
+        want.append(p.detach().numpy().copy())
+    want = np.stack(want)
+
+    tx = make_optimiser("1cycle", lr_max, max_iters=max_iters)
+    params = {"p": jnp.asarray(p0)}
+    state = tx.init(params)
+    got = []
+    for _ in range(n_steps):
+        grads = params
+        params, state = tx.fused_apply(grads, state, params)
+        got.append(np.asarray(params["p"]))
+    # the optax side runs in float32 (jax default); torch in float64
+    np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-6)
+
+
 # --------------------------------------------------------------------- #
 # Reference eval.py / data/skeleton.py — executed directly (see ref_pkg)
 # --------------------------------------------------------------------- #
