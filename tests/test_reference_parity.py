@@ -1,6 +1,6 @@
 """Parity tests that execute ACTUAL reference code, not a hand-built twin.
 
-Four reference modules are executed directly in this environment:
+Six reference modules are executed directly in this environment:
 
 - ``/root/reference/src/margipose/dsntnn.py`` (torch only) — the numeric
   contract for DSNT soft-argmax, flat softmax, Gaussian rendering, and the
@@ -13,6 +13,15 @@ Four reference modules are executed directly in this environment:
   3-line ``pose3d_utils.coords`` shim — see ``_pose3d_coords_shim``) — the
   mpjpe/pck/auc metrics, Procrustes alignment, and skeleton algebra
   (reference: src/margipose/eval.py:9-85, data/skeleton.py:78-260).
+- ``/root/reference/src/margipose/data/mpi_inf_3dhp/preprocess.py`` (+ its
+  ``common.py`` import) — run END-TO-END on the fake raw corpora: the full
+  train-sequence preprocessing (metadata.h5, universal scale, interesting
+  frames), mask generation (byte-identical PNGs), and the test-set path
+  (byte-identical resized JPEGs, least-squares intrinsics, calibration
+  text), plus the camera.calibration parser
+  (reference: preprocess.py:25-336, common.py:88-136).
+- ``/root/reference/src/margipose/data/mixed.py`` — the round-robin
+  mixed-dataset sampler's exact interleaving (reference: mixed.py:6-24).
 
 These tests pin ``margipose_tpu.ops.dsnt``, ``margipose_tpu.train.schedules``,
 ``margipose_tpu.eval`` and ``margipose_tpu.geometry.skeleton`` (and the torch
@@ -560,7 +569,11 @@ def ref_preprocess():
             "margipose", "margipose.data", "margipose.data.skeleton",
             "margipose.data.mpi_inf_3dhp",
             "margipose.data.mpi_inf_3dhp.common",
-            "margipose.data.mpi_inf_3dhp.preprocess")
+            "margipose.data.mpi_inf_3dhp.preprocess",
+            # lazily imported by the reference's preprocess_test_data
+            "margipose.data.mpi_inf_3dhp.raw",
+            # executed by the ref_mixed fixture below (shares this stub set)
+            "margipose.data.mixed")
     saved = {k: sys.modules.get(k) for k in keys}
     try:
         p3u = types.ModuleType("pose3d_utils")
@@ -681,3 +694,344 @@ def test_univ_scale_factor_matches_reference(ref_preprocess):
     ratio = rel_a[..., inc, :][nz] / rel_u[..., inc, :][nz]
     assert ratio.size % 2 == 0
     assert float(np.median(ratio)) != want
+
+
+def _fake_annot_mat_dict(rng, n_cameras, n_frames):
+    """A loadmat-style MPI-INF-3DHP annot dict (object-array cells per
+    camera) with frames crafted to exercise every branch of the
+    interesting-frame selection: sub-threshold movement, exactly-200mm
+    movement (the `<` comparison boundary), out-of-bounds 2D joints
+    (including the exact 0 / 2048 bounds), and movement measured against the
+    last KEPT frame rather than the previous raw frame."""
+    def cell(per_cam_list):
+        arr = np.empty((n_cameras, 1), dtype=object)
+        for cid in range(n_cameras):
+            arr[cid, 0] = per_cam_list[cid]
+        return arr
+
+    annot3, univ, annot2 = [], [], []
+    for cid in range(n_cameras):
+        pose = rng.uniform(300, 1700, (28, 3))
+        frames3d = [pose]
+        while len(frames3d) < n_frames:
+            r = len(frames3d) % 5
+            if r == 0:      # big movement: kept
+                step = rng.uniform(220, 600, (28, 3))
+            elif r == 1:    # tiny movement: skipped
+                step = rng.uniform(-40, 40, (28, 3))
+            elif r == 2:    # exactly 200mm on one joint, zero elsewhere:
+                step = np.zeros((28, 3))   # max_move == threshold -> kept
+                step[rng.randint(28)] = [200.0, 0.0, 0.0]
+            else:           # moderate: may or may not pass vs last kept
+                step = rng.uniform(-180, 180, (28, 3))
+            frames3d.append(frames3d[-1] + step)
+        frames3d = np.stack(frames3d)
+        proj = rng.uniform(1, 2047, (n_frames, 28, 2))
+        # a kept-movement frame with an exactly-0 coordinate (in bounds) ...
+        proj[5].flat[0] = 0.0
+        # ... and frames pushed out of bounds on either side
+        for i in range(0, n_frames, 7):
+            proj[i].flat[3] = -0.001
+        for i in range(3, n_frames, 11):
+            proj[i].flat[7] = 2048.0
+        annot3.append(frames3d.reshape(n_frames, -1))
+        univ.append((frames3d * 0.97).reshape(n_frames, -1))
+        annot2.append(proj.reshape(n_frames, -1))
+
+    return {
+        'cameras': np.arange(n_cameras).reshape(-1, 1),
+        'frames': np.arange(n_frames).reshape(-1, 1),
+        'annot3': cell(annot3),
+        'univ_annot3': cell(univ),
+        'annot2': cell(annot2),
+    }
+
+
+def test_interesting_frame_indices_match_reference(ref_preprocess):
+    """The training-frame selection logic — >=200mm movement since the last
+    KEPT pose, all 2D joints inside [0, 2048) — against the reference's own
+    executed code (reference: preprocess.py:79-102), including the exact
+    threshold and bounds comparisons."""
+    from margipose_tpu.data.mpi3d_preprocess import (
+        Annotations,
+        interesting_frame_indices,
+    )
+
+    ref_common = sys.modules["margipose.data.mpi_inf_3dhp.common"]
+    rng = np.random.RandomState(11)
+    mat = _fake_annot_mat_dict(rng, n_cameras=14, n_frames=40)
+
+    ours_annot = Annotations(mat)
+    ref_annot = ref_common.Annotations(mat)
+    for camera_id in (0, 3, 13):
+        ours = interesting_frame_indices(ours_annot, camera_id, 40)
+        want = ref_preprocess.interesting_frame_indices(ref_annot, camera_id, 40)
+        assert ours == want
+        # tripwire: the fake data must actually discriminate — some frames
+        # kept, some dropped — or the comparison proves nothing
+        assert 0 < len(want) < 40
+
+
+def test_is_image_ok_matches_reference(ref_preprocess, tmp_path):
+    """Flash-frame rejection at the exact 1/3-white-pixel boundary
+    (reference: preprocess.py:25-36)."""
+    import PIL.Image
+
+    from margipose_tpu.data.mpi3d_preprocess import is_image_ok
+
+    w = h = 48
+    third = (w * h) // 3  # 768 == (48*48)/3 exactly
+    for n_white in (0, third - 1, third, third + 1, w * h):
+        arr = np.full((h, w, 3), 100, np.uint8)
+        arr.reshape(-1, 3)[:n_white] = 255
+        f = tmp_path / f'frame_{n_white}.png'  # png: no jpeg blur at the edge
+        PIL.Image.fromarray(arr).save(f)
+        assert is_image_ok(str(f)) == ref_preprocess.is_image_ok(str(f)), n_white
+
+
+def test_process_sequence_and_masks_match_reference(ref_preprocess, tmp_path):
+    """The ENTIRE train/val preprocessing output — metadata.h5 (universal
+    scale, 28-joint annotations, per-camera interesting frames) and every
+    generated compositing mask PNG — byte/value-identical to what the
+    reference's own executed preprocess.py produces from the same raw
+    sequence (reference: preprocess.py:137-187,246-336). Runs the resume
+    path (frames pre-extracted) so no ffmpeg is needed, exactly like the
+    reference does after an interrupted run."""
+    import shutil
+
+    import h5py
+
+    from margipose_tpu.data.fake_mpi3d import generate_fake_raw_mpi3d_train
+    from margipose_tpu.data.mpi3d_preprocess import (
+        preprocess_masks,
+        process_sequence,
+    )
+
+    raw_seq, proc_seq = generate_fake_raw_mpi3d_train(
+        str(tmp_path / 'raw'), str(tmp_path / 'proc_ours'),
+        subj_id=2, seq_id=2, n_frames=3, seed=5)
+    proc_ref_root = str(tmp_path / 'proc_ref')
+    shutil.copytree(str(tmp_path / 'proc_ours'), proc_ref_root)
+    proc_seq_ref = os.path.join(proc_ref_root, 'S2', 'Seq2')
+
+    process_sequence(raw_seq, proc_seq, n_frames=3, blacklist=[])
+    ref_preprocess.process_sequence(raw_seq, proc_seq_ref, n_frames=3,
+                                    blacklist=[])
+
+    with h5py.File(os.path.join(proc_seq, 'metadata.h5'), 'r') as ours, \
+            h5py.File(os.path.join(proc_seq_ref, 'metadata.h5'), 'r') as want:
+        assert ours['joints3d'].dtype == want['joints3d'].dtype
+        np.testing.assert_array_equal(ours['joints3d'][:], want['joints3d'][:])
+        np.testing.assert_array_equal(ours['scale'][:], want['scale'][:])
+        ref_keys = sorted(want['interesting_frames'].keys())
+        assert sorted(ours['interesting_frames'].keys()) == ref_keys
+        for k in ref_keys:
+            np.testing.assert_array_equal(ours[f'interesting_frames/{k}'][:],
+                                          want[f'interesting_frames/{k}'][:])
+
+    preprocess_masks(str(tmp_path / 'proc_ours'), 2, 2)
+    ref_preprocess.preprocess_masks(proc_ref_root, 2, 2)
+
+    mask_files = []
+    for kind in ('foreground_mask', 'up_body_mask', 'low_body_mask'):
+        for root, _, files in os.walk(os.path.join(proc_seq_ref, kind)):
+            for f in files:
+                full = os.path.join(root, f)
+                mask_files.append(os.path.relpath(full, proc_seq_ref))
+    assert len(mask_files) >= 3 * 3 * 8  # 3 kinds x 3 frames x 8 cameras
+    for rel in mask_files:
+        ours_bytes = open(os.path.join(proc_seq, rel), 'rb').read()
+        want_bytes = open(os.path.join(proc_seq_ref, rel), 'rb').read()
+        assert ours_bytes == want_bytes, f'mask differs: {rel}'
+
+
+def test_preprocess_test_data_matches_reference(ref_preprocess, tmp_path,
+                                                monkeypatch):
+    """The test-set preprocessing output — resized frames (byte-identical
+    JPEGs), least-squares-inferred camera.calibration text, annot_data.mat
+    copy, and metadata.h5 — against the reference's own executed
+    preprocess_test_data on the same raw test set (reference:
+    preprocess.py:190-243). Pillow >= 10 removed Image.ANTIALIAS (it was an
+    alias of LANCZOS), so the alias is restored for the reference code."""
+    import PIL.Image
+
+    import h5py
+
+    from margipose_tpu.data.fake_mpi3d import generate_fake_raw_mpi3d_test
+    from margipose_tpu.data.mpi3d_preprocess import preprocess_test_data
+
+    raw_dir = str(tmp_path / 'raw')
+    generate_fake_raw_mpi3d_test(raw_dir, n_frames=3, img_size=300, seed=9)
+
+    out_ours = str(tmp_path / 'out_ours')
+    out_ref = str(tmp_path / 'out_ref')
+    preprocess_test_data(raw_dir, out_ours)
+    if not hasattr(PIL.Image, 'ANTIALIAS'):
+        monkeypatch.setattr(PIL.Image, 'ANTIALIAS', PIL.Image.LANCZOS,
+                            raising=False)
+    ref_preprocess.preprocess_test_data(raw_dir, out_ref)
+
+    ref_files = []
+    for root, _, files in os.walk(out_ref):
+        for f in files:
+            ref_files.append(os.path.relpath(os.path.join(root, f), out_ref))
+    assert sorted(ref_files) and len(ref_files) == 6 * (2 + 3)  # per seq:
+    # metadata.h5, annot_data.mat, calibration + 2 valid-frame jpgs... plus
+    # the calibration file; recount: 2 jpgs + annot_data.mat +
+    # camera.calibration + metadata.h5 = 5 files per sequence
+    ours_files = []
+    for root, _, files in os.walk(out_ours):
+        for f in files:
+            ours_files.append(os.path.relpath(os.path.join(root, f), out_ours))
+    assert sorted(ours_files) == sorted(ref_files)
+
+    for rel in ref_files:
+        ours_path = os.path.join(out_ours, rel)
+        want_path = os.path.join(out_ref, rel)
+        if rel.endswith('metadata.h5'):
+            with h5py.File(ours_path, 'r') as a, h5py.File(want_path, 'r') as b:
+                np.testing.assert_array_equal(a['joints3d'][:], b['joints3d'][:])
+                np.testing.assert_array_equal(a['scale'][:], b['scale'][:])
+                np.testing.assert_array_equal(
+                    a['interesting_frames/camera0'][:],
+                    b['interesting_frames/camera0'][:])
+        else:  # jpgs, annot_data.mat copies, camera.calibration text
+            assert open(ours_path, 'rb').read() == open(want_path, 'rb').read(), \
+                f'file differs: {rel}'
+
+
+def test_parse_camera_calibration_matches_reference(ref_preprocess):
+    """The camera.calibration text parser — multi-camera, unrecognised
+    fields skipped, intrinsic truncated to 3x4 — against the reference's
+    loaded common.py (reference: data/mpi_inf_3dhp/common.py:88-136)."""
+    import io
+
+    from margipose_tpu.data.mpi_inf_3dhp import parse_camera_calibration
+
+    rng = np.random.RandomState(3)
+    lines = ['Fake Camera Calibration File']
+    for cam in (0, 2, 7):
+        intr = np.eye(4)
+        intr[0, 0], intr[1, 1] = rng.uniform(900, 1600, 2)
+        intr[0, 2], intr[1, 2] = rng.uniform(900, 1100, 2)
+        extr = np.eye(4)
+        extr[:3, 3] = rng.uniform(-500, 500, 3)
+        lines += [
+            f'name          {cam}',
+            '  sensor      10 10',
+            '  size        2048 2048',
+            '  animated    0',
+            '  intrinsic   ' + ' '.join(f'{v:g}' for v in intr.flatten()),
+            '  extrinsic   ' + ' '.join(f'{v:g}' for v in extr.flatten()),
+            '  radial      0',
+        ]
+    text = '\n'.join(lines) + '\n'
+
+    ours = parse_camera_calibration(io.StringIO(text))
+    want = ref_preprocess  # noqa: F841  (fixture dependency, modules below)
+    ref_common = sys.modules["margipose.data.mpi_inf_3dhp.common"]
+    theirs = ref_common.parse_camera_calibration(io.StringIO(text))
+
+    assert sorted(ours.keys()) == sorted(theirs.keys()) == [0, 2, 7]
+    for cam in ours:
+        np.testing.assert_array_equal(
+            ours[cam]['intrinsics'].matrix,
+            np.asarray(theirs[cam]['intrinsics'].matrix, dtype=np.float64))
+        np.testing.assert_array_equal(
+            np.asarray(ours[cam]['extrinsics']),
+            np.asarray(theirs[cam]['extrinsics']))
+        assert ours[cam]['image_width'] == theirs[cam]['image_width']
+        assert ours[cam]['image_height'] == theirs[cam]['image_height']
+
+    # Documented divergence: on fields outside the known set the reference
+    # raises KeyError (its "Skipping unrecognized field" branch sits after
+    # the `types[key]` lookup and is unreachable, common.py:107-120); ours
+    # skips them. Real MPI-INF-3DHP calibration files only use known fields,
+    # so the behaviours agree on the actual data domain.
+    bad = text + 'name 9\n  unknownfld 1 2 3\n'
+    with pytest.raises(KeyError):
+        ref_common.parse_camera_calibration(io.StringIO(bad))
+    assert 9 in parse_camera_calibration(io.StringIO(bad + '  size 10 10\n'
+                                                     '  intrinsic ' +
+                                                     ' '.join(['1'] * 16) +
+                                                     '\n  extrinsic ' +
+                                                     ' '.join(['1'] * 16) +
+                                                     '\n'))
+
+
+@pytest.fixture(scope="module")
+def ref_mixed(ref_preprocess):
+    """Execute the ACTUAL reference ``data/mixed.py`` (RoundRobinSampler +
+    MixedPoseDataset). Reuses ref_preprocess's stubbed ``margipose.data``
+    package, adding the one attribute mixed.py imports from it."""
+    del ref_preprocess  # fixture dependency only
+    path = os.path.join(REFERENCE_SRC, "data", "mixed.py")
+    if not os.path.isfile(path):
+        pytest.skip("reference mixed.py not found")
+
+    class _StubPoseDataset:
+        def __init__(self, data_specs):
+            self.data_specs = data_specs
+
+        def sampler(self, examples_per_epoch=None):
+            raise NotImplementedError
+
+    sys.modules["margipose.data"].PoseDataset = _StubPoseDataset
+
+    # torch >= 2 removed Sampler.__init__(data_source); the reference's
+    # `super().__init__(None)` (mixed.py:8) needs the torch-1.x base, so its
+    # import is satisfied with a one-method shim module, restored right
+    # after exec. Only the base class comes from the shim — every line of
+    # sampler logic is the reference's own.
+    sampler_mod = types.ModuleType("torch.utils.data.sampler")
+
+    class _Sampler:
+        def __init__(self, data_source=None):
+            pass
+
+    sampler_mod.Sampler = _Sampler
+    saved_sampler = sys.modules.get("torch.utils.data.sampler")
+    sys.modules["torch.utils.data.sampler"] = sampler_mod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "margipose.data.mixed", path)
+        module = importlib.util.module_from_spec(spec)
+        sys.modules["margipose.data.mixed"] = module
+        spec.loader.exec_module(module)
+    finally:
+        if saved_sampler is None:
+            sys.modules.pop("torch.utils.data.sampler", None)
+        else:
+            sys.modules["torch.utils.data.sampler"] = saved_sampler
+    yield module
+
+
+@pytest.mark.parametrize("num_samples", [6, 15, 16])
+def test_round_robin_sampler_matches_reference(ref_mixed, monkeypatch,
+                                               num_samples):
+    """The mixed-dataset round-robin interleaving — source alternation per
+    position, per-source cursors, epoch length — emits the IDENTICAL index
+    sequence as the reference's executed RoundRobinSampler when both see the
+    same shuffles (reference: data/mixed.py:6-24). Shuffling is pinned to
+    in-place reversal for determinism; ours additionally wraps a shorter
+    source instead of raising, so comparisons stay in the common domain
+    (num_samples <= n_sources * min(len))."""
+    from margipose_tpu.data.mixed import RoundRobinSampler
+
+    index_lists = [list(range(0, 10)), list(range(10, 18))]
+
+    def reverse_in_place(lst):
+        lst.reverse()
+
+    monkeypatch.setattr(ref_mixed.random, "shuffle", reverse_in_place)
+    theirs = list(iter(ref_mixed.RoundRobinSampler(index_lists, num_samples)))
+
+    ours_sampler = RoundRobinSampler(index_lists, num_samples)
+    monkeypatch.setattr(ours_sampler, "rng",
+                        types.SimpleNamespace(shuffle=reverse_in_place))
+    ours = list(iter(ours_sampler))
+
+    assert ours == theirs
+    assert len(ours) == num_samples
+    # tripwire: sequence must alternate sources (even positions source 0)
+    assert all(v < 10 for v in ours[0::2]) and all(v >= 10 for v in ours[1::2])
