@@ -315,6 +315,12 @@ def run_training(cfg: dict) -> dict:
             tel.epoch = epoch  # keep sink labels aligned when resuming
             tel['epoch'].set_value(epoch)
             print(f'> Epoch {epoch + 1:3d}/{cfg["epochs"]:3d}', flush=True)
+            # pin per-example augmentation ordinals to the true epoch so a
+            # resumed run draws the same augmentations as an uninterrupted
+            # one (data/loader.py set_epoch; base.py example_rng)
+            train_loader.set_epoch(epoch)
+            if val_loader is not None:
+                val_loader.set_epoch(epoch)
 
             state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
                                      data_sharding, exp_out_dir, aug_step=aug_step,

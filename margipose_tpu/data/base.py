@@ -24,6 +24,29 @@ from margipose_tpu.geometry.skeleton import (
 )
 from margipose_tpu.geometry.transforms import TransformerContext
 
+# Thread-local sampler ordinal used to derive per-example augmentation RNGs
+# (see PoseDataset.example_rng). Set by the loaders around each dataset
+# access; module-level so mixed datasets delegating to children on the same
+# thread see the same ordinal.
+import threading
+
+_AUG_TL = threading.local()
+
+
+def set_aug_ordinal(value) -> None:
+    """Set (or clear, with None) the calling thread's ``(epoch, position)``
+    sampler ordinal. Loader-internal: with an ordinal in place, datasets
+    derive each example's augmentation RNG from (seed, ordinal, index), so
+    augmentation is deterministic for ANY ``num_workers`` — the draws depend
+    on the sampler position, never on thread scheduling. (The reference
+    seeds each worker PROCESS instead — reference:
+    src/margipose/data/__init__.py:189-190 — which is deterministic only for
+    a fixed worker count.)"""
+    if value is None:
+        _AUG_TL.__dict__.pop('ordinal', None)
+    else:
+        _AUG_TL.ordinal = value
+
 
 def as_rgb_array(img) -> np.ndarray:
     """HWC uint8 view/copy of a PIL RGB image or passthrough for arrays."""
@@ -51,6 +74,39 @@ class PoseDataset(ABC):
     def __init__(self, data_specs: DataSpecs):
         self.data_specs = data_specs
         self.skeleton_normaliser = SkeletonNormaliser()
+
+    # ------------------------------------------------------------------ #
+    # Augmentation RNG
+    # ------------------------------------------------------------------ #
+
+    def _init_example_rng(self, seed):
+        """Set up augmentation randomness. ``self.rng`` remains the legacy
+        shared stream (used for direct ``dataset[i]`` access outside a
+        loader, e.g. the GUI); ``example_rng`` below derives an independent
+        per-example RandomState from ``seed`` for loader-driven access."""
+        self.rng = np.random.RandomState(seed)
+        # unseeded datasets still get thread-safe (if non-reproducible)
+        # per-example streams via a process-random salt
+        self._aug_seed = (int(seed) if seed is not None
+                          else int(self.rng.randint(0, 2 ** 31)))
+
+    def example_rng(self, index) -> np.random.RandomState:
+        """Per-example augmentation RandomState.
+
+        Under a loader (which sets the thread-local sampler ordinal — see
+        ``set_aug_ordinal``), the stream is a pure function of
+        ``(dataset seed, epoch, sampler position, index)``: thread-safe and
+        bit-deterministic for ANY ``num_workers``, with repeated indices in
+        an epoch (samplers with replacement) still drawing fresh
+        augmentations via their distinct sampler positions. Outside a
+        loader it falls back to the legacy shared ``self.rng`` stream so
+        direct indexing keeps its draw-variety semantics."""
+        ordinal = _AUG_TL.__dict__.get('ordinal')
+        if ordinal is None:
+            return self.rng
+        seed = np.random.SeedSequence(
+            [self._aug_seed, *ordinal, int(index)]).generate_state(1)[0]
+        return np.random.RandomState(seed)
 
     def device_aug_fields(self, ctx: "TransformerContext", orig_image) -> dict:
         """Sample fields for the on-device augmentation path.
@@ -271,22 +327,40 @@ def _crop_to_affine_source(arr, affine, out_width, out_height, margin=2):
 
 
 class RandomSampler:
-    """Uniform sampler with a fixed number of examples per epoch."""
+    """Uniform sampler with a fixed number of examples per epoch.
+
+    Seeded samplers support ``iter_epoch(epoch)`` (used by the loader when
+    its epoch is pinned via ``set_epoch``): the epoch's order is a pure
+    function of (seed, epoch), so a ``resume=``d run consumes the SAME
+    sample sequence an uninterrupted run would — plain ``iter`` draws from a
+    persistent stream, which restarts from epoch 0's order after a resume.
+    """
 
     def __init__(self, total_length, examples_per_epoch=None, seed=None):
         self.total_length = total_length
         self.examples_per_epoch = examples_per_epoch or total_length
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
         return self.examples_per_epoch
 
-    def __iter__(self):
+    def _draw(self, rng):
         n, total = self.examples_per_epoch, self.total_length
         if n > total:
-            yield from self.rng.randint(0, total, size=n).tolist()
+            yield from rng.randint(0, total, size=n).tolist()
         else:
-            yield from self.rng.permutation(total)[:n].tolist()
+            yield from rng.permutation(total)[:n].tolist()
+
+    def __iter__(self):
+        return self._draw(self.rng)
+
+    def iter_epoch(self, epoch):
+        if self.seed is None:
+            return iter(self)
+        derived = np.random.SeedSequence(
+            [int(self.seed), int(epoch)]).generate_state(1)[0]
+        return self._draw(np.random.RandomState(derived))
 
 
 class SequentialSampler:

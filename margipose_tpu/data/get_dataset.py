@@ -22,8 +22,14 @@ def base_data_dir() -> str:
     return environ.get('MARGIPOSE_BASE_DATA_DIR', '/datasets')
 
 
-def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
-    """Get a dataset instance by name (eg. ``mpi3d-train``)."""
+def get_dataset(dataset_name, data_specs=None, use_aug=False,
+                seed=None) -> PoseDataset:
+    """Get a dataset instance by name (eg. ``mpi3d-train``).
+
+    ``seed`` seeds the dataset's augmentation randomness (reproducible
+    training; see PoseDataset.example_rng). Synthetic datasets ignore it —
+    their '@seed' name suffix defines the example POOL, not aug draws.
+    """
 
     mpi3d_match = re.fullmatch('mpi3d-(train|val|test|test-uncorrected)', dataset_name)
     if mpi3d_match:
@@ -32,11 +38,13 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             path.join(base_data_dir(), 'mpi3d', subset),
             data_specs=data_specs,
             use_aug=(use_aug and not subset.startswith('test')),
+            seed=seed,
         )
     if dataset_name == 'mpi3d-trainval':
         return MixedPoseDataset([
-            get_dataset('mpi3d-train', data_specs, use_aug),
-            get_dataset('mpi3d-val', data_specs, use_aug),
+            get_dataset('mpi3d-train', data_specs, use_aug, seed=seed),
+            get_dataset('mpi3d-val', data_specs, use_aug,
+                        seed=None if seed is None else seed + 1),
         ], balanced_sampling=False)
 
     h36m_match = re.fullmatch('h36m-(trainval|test)', dataset_name)
@@ -46,6 +54,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             path.join(base_data_dir(), 'h36m'),
             data_specs=data_specs, subset=subset,
             use_aug=(use_aug and subset != 'test'),
+            seed=seed,
         )
 
     mpii_match = re.fullmatch('mpii-(train|val|trainval|test)', dataset_name)
@@ -55,6 +64,7 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False) -> PoseDataset:
             path.join(base_data_dir(), 'mpii'),
             data_specs=data_specs, subset=subset,
             use_aug=(use_aug and subset != 'test'),
+            seed=seed,
         )
 
     # optional '@seed' suffix gives disjoint procedural pools, eg.

@@ -93,7 +93,7 @@ class H36MDataset(PoseDataset):
         self.subset = subset
         self.use_aug = use_aug
         self.data_dir = data_dir
-        self.rng = np.random.RandomState(seed)
+        self._init_example_rng(seed)
 
         annot_files = sorted(iglob(path.join(data_dir, 'S*', '*', 'annot.h5')))
         keys = ['pose/2d', 'pose/3d', 'pose/3d-univ', 'camera', 'frame',
@@ -221,7 +221,7 @@ class H36MDataset(PoseDataset):
 
     def __getitem__(self, index):
         id = self.example_ids[index]
-        rng = self.rng
+        rng = self.example_rng(index)  # worker-count-invariant (base.py)
 
         orig_image = self._load_image(id)
         if orig_image is not None:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import itertools
 from concurrent.futures import ThreadPoolExecutor
 
-from margipose_tpu.data.base import SequentialSampler, collate
+from margipose_tpu.data.base import SequentialSampler, collate, set_aug_ordinal
 
 # Batch fields shipped to the device; everything else stays host-side for
 # the eval/untransform paths. The raw_image/aug_* fields exist only in the
@@ -29,6 +29,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the epoch used in per-example augmentation ordinals (like
+        torch's DistributedSampler.set_epoch). Without calls, epochs
+        auto-increment per ``__iter__``; training loops that resume should
+        call this so augmentation draws line up with an uninterrupted run."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.sampler)
@@ -36,28 +44,52 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self):
-        it = iter(self.sampler)
+    def _index_batches(self, epoch):
+        """Yields (chunk, positions): sampler indices for one batch plus
+        their positions in the epoch's sample sequence. Positions feed the
+        per-example augmentation ordinals (base.set_aug_ordinal), making aug
+        draws a function of sampler position rather than thread timing.
+        Seeded samplers expose ``iter_epoch``, pinning the epoch's ORDER to
+        (seed, epoch) as well, so resume= training replays the exact sample
+        sequence of an uninterrupted run."""
+        if hasattr(self.sampler, 'iter_epoch'):
+            it = self.sampler.iter_epoch(epoch)
+        else:
+            it = iter(self.sampler)
+        pos = 0
         while True:
             chunk = list(itertools.islice(it, self.batch_size))
             if not chunk:
                 return
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield chunk
+            yield chunk, range(pos, pos + len(chunk))
+            pos += len(chunk)
 
     def __iter__(self):
+        epoch = self._epoch
+        self._epoch += 1  # auto-advance; set_epoch overrides
+
+        def load_one(pos_idx):
+            pos, idx = pos_idx
+            set_aug_ordinal((epoch, pos))
+            try:
+                return self.dataset[idx]
+            finally:
+                set_aug_ordinal(None)
+
         if self.num_workers <= 0:
-            for chunk in self._index_batches():
-                yield collate([self.dataset[i] for i in chunk])
+            for chunk, positions in self._index_batches(epoch):
+                yield collate([load_one(pi) for pi in zip(positions, chunk)])
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            def load_batch(chunk):
-                return collate(list(pool.map(self.dataset.__getitem__, chunk)))
+            def load_batch(chunk_positions):
+                chunk, positions = chunk_positions
+                return collate(list(pool.map(load_one, zip(positions, chunk))))
 
             pending = []
-            batches = self._index_batches()
+            batches = self._index_batches(epoch)
             # Keep up to prefetch_batches batch-futures in flight.
             submit = ThreadPoolExecutor(max_workers=self.prefetch_batches)
             try:

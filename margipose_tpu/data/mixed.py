@@ -17,18 +17,32 @@ class RoundRobinSampler:
     def __init__(self, index_lists, num_samples, seed=None):
         self.index_lists = [list(l) for l in index_lists]
         self.num_samples = num_samples
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
 
-    def __iter__(self):
+    def _emit(self, rng):
         shuffled = [list(l) for l in self.index_lists]
         for l in shuffled:
-            self.rng.shuffle(l)
+            rng.shuffle(l)
         i = 0
         js = [0] * len(shuffled)
         for _ in range(len(self)):
             yield shuffled[i][js[i] % len(shuffled[i])]
             js[i] += 1
             i = (i + 1) % len(js)
+
+    def __iter__(self):
+        return self._emit(self.rng)
+
+    def iter_epoch(self, epoch):
+        """Epoch-pinned order: a pure function of (seed, epoch), so resumed
+        runs see the same shuffles as uninterrupted ones (see
+        base.RandomSampler.iter_epoch)."""
+        if self.seed is None:
+            return iter(self)
+        derived = np.random.SeedSequence(
+            [int(self.seed), int(epoch)]).generate_state(1)[0]
+        return self._emit(np.random.RandomState(derived))
 
     def __len__(self):
         return self.num_samples

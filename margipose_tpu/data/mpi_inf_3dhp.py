@@ -390,7 +390,7 @@ class MpiInf3dDataset(PoseDataset):
         self.univ_scale_factors = univ_scale_factors
         self.without_image = False
         self.multicrop = False
-        self.rng = np.random.RandomState(seed)
+        self._init_example_rng(seed)
         self._calibration_cache: dict = {}
 
     def _camera_calibration(self, camera_file):
@@ -496,7 +496,7 @@ class MpiInf3dDataset(PoseDataset):
 
     def __getitem__(self, index):
         frame_ref = self.frame_refs[index]
-        rng = self.rng
+        rng = self.example_rng(index)  # worker-count-invariant (base.py)
 
         skel_3d, skel_desc = self._get_skeleton_3d(index)
         univ_scale_factor = self.univ_scale_factors[

@@ -118,7 +118,7 @@ class MpiiDataset(PoseDataset):
         self.use_aug = use_aug
         self.mpii_data = MpiiData(data_dir)
         self.example_ids = self.mpii_data.subset_indices(self.subset)[:max_length]
-        self.rng = np.random.RandomState(seed)
+        self._init_example_rng(seed)
 
     def to_canonical_skeleton(self, skel, force=False):
         """(reference: src/margipose/data/mpii/__init__.py:48-76): canonical
@@ -158,7 +158,7 @@ class MpiiDataset(PoseDataset):
 
     def __getitem__(self, index):
         id = self.example_ids[index]
-        rng = self.rng
+        rng = self.example_rng(index)  # worker-count-invariant (base.py)
 
         normalize = self.mpii_data.head_lengths[id]
         orig_target = np.asarray(self.mpii_data.keypoints[id], dtype=np.float64)

@@ -13,7 +13,13 @@ from margipose_tpu.utils import draw_skeleton_2d
 def _create_dataloader(dataset_names, data_specs, batch_size, examples_per_epoch,
                        use_aug, num_workers=4, seed=None, device_aug=False,
                        device_aug_canvas=0):
-    datasets = [get_dataset(name, data_specs, use_aug=use_aug) for name in dataset_names]
+    datasets = [
+        get_dataset(name, data_specs, use_aug=use_aug,
+                    # distinct per-source aug streams, derived from the one
+                    # loader seed (reproducible; see PoseDataset.example_rng)
+                    seed=None if seed is None else seed + 7919 * i)
+        for i, name in enumerate(dataset_names)
+    ]
     assert len(datasets) > 0, 'at least one dataset must be specified'
     if device_aug:
         # One static raw canvas for the whole (possibly mixed) recipe.

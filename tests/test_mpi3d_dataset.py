@@ -136,3 +136,80 @@ def test_eval_cli_multicrop_on_fake_mpi3d_test(mpi3d_test_env, monkeypatch,
                '--multicrop'], {'device': 'auto'})
     out = capsys.readouterr().out
     assert 'Overall' in out and 'S1/Seq1' in out
+
+
+def test_loader_augmentation_deterministic_any_worker_count(fake_dir):
+    """Augmentation draws are a pure function of (dataset seed, epoch,
+    sampler position, index) — bit-identical batches for ANY num_workers,
+    across repeat runs, with fresh draws each epoch. The reference is only
+    deterministic per worker-process count (its per-worker reseeding,
+    reference: src/margipose/data/__init__.py:189-190); here the contract is
+    worker-count-invariant (PoseDataset.example_rng, loader set_epoch)."""
+    from margipose_tpu.data.loader import DataLoader
+
+    def collect(num_workers, epochs=2):
+        ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs(),
+                             use_aug=True, seed=11)
+        loader = DataLoader(ds, batch_size=3, num_workers=num_workers)
+        out = []
+        for epoch in range(epochs):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                out.append((np.asarray(batch['input']),
+                            np.asarray(batch['target'])))
+        return out
+
+    sync = collect(0)
+    threaded = collect(4)
+    threaded2 = collect(4)
+    assert len(sync) == len(threaded) == len(threaded2) == 4
+    for (i0, t0), (i1, t1), (i2, t2) in zip(sync, threaded, threaded2):
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(t0, t1)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(t1, t2)
+
+    # same (sequential) order both epochs, yet epoch-1 draws are fresh
+    n_batches = len(sync) // 2
+    assert not all(
+        np.array_equal(sync[b][0], sync[n_batches + b][0])
+        for b in range(n_batches)
+    ), 'epoch 1 reused epoch 0 augmentation draws'
+
+
+def test_loader_epoch_pinned_order_and_aug(fake_dir):
+    """A FRESH loader pinned to epoch k (``set_epoch``) reproduces exactly
+    the k-th epoch — sample order AND augmentation draws — of a loader that
+    iterated epochs 0..k. This is what makes ``resume=`` training replay an
+    uninterrupted run's remaining sample sequence: both the sampler order
+    (RandomSampler.iter_epoch) and the per-example aug RNGs are pure
+    functions of (seed, epoch)."""
+    from margipose_tpu.data.loader import DataLoader
+
+    def make_loader():
+        ds = MpiInf3dDataset(fake_dir, data_specs=canonical_specs(),
+                             use_aug=True, seed=11)
+        return DataLoader(ds, batch_size=3,
+                          sampler=ds.sampler(examples_per_epoch=6, seed=5),
+                          num_workers=0)
+
+    full = make_loader()
+    epochs = []
+    for e in range(3):
+        full.set_epoch(e)
+        epochs.append([(np.asarray(b['index']), np.asarray(b['input']))
+                       for b in full])
+
+    resumed = make_loader()
+    resumed.set_epoch(2)
+    third = [(np.asarray(b['index']), np.asarray(b['input']))
+             for b in resumed]
+
+    assert len(third) == len(epochs[2]) == 2
+    for (idx_a, in_a), (idx_b, in_b) in zip(epochs[2], third):
+        np.testing.assert_array_equal(idx_a, idx_b)
+        np.testing.assert_array_equal(in_a, in_b)
+    # tripwire: the three epochs must not all share one order, or the
+    # epoch pinning is vacuous
+    assert not all(
+        np.array_equal(epochs[0][b][0], epochs[1][b][0]) for b in range(2))
