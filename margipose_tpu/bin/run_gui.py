@@ -68,18 +68,14 @@ def _load_and_process_example(dataset, forward, index):
             result['skel3d'] = {'expected': expected, 'actual': actual}
     if result['skel3d'] is None and has_depth:
         # no model: ground-truth-only 3D view, like the reference GUI with
-        # --model omitted (reference: src/margipose/bin/run_gui.py:252-262)
-        from margipose_tpu.geometry.coords import ensure_cartesian
-        from margipose_tpu.geometry.skeleton import (
-            CanonicalSkeletonDesc,
-            absolute_to_root_relative,
-        )
+        # --model omitted (reference: src/margipose/bin/run_gui.py:252-262);
+        # the eval-space conversion is shared with the metrics pipeline
+        from margipose_tpu.eval import expected_3d_skeleton
 
-        expected = absolute_to_root_relative(
-            dataset.to_canonical_skeleton(
-                ensure_cartesian(np.asarray(example['original_skel'], np.float64), 3)),
-            CanonicalSkeletonDesc.root_joint_id)
-        result['skel3d'] = {'expected': expected, 'actual': None}
+        result['skel3d'] = {
+            'expected': expected_3d_skeleton(example['original_skel'], dataset),
+            'actual': None,
+        }
     return result
 
 

@@ -16,6 +16,17 @@ Endpoints:
                     requests_total counts every received request,
                     ok/rejected/errors split it by outcome (2xx/4xx/5xx),
                     so error rate = errors_total / requests_total.
+                    ok_total counts COMPUTED responses; a client that
+                    disconnects before the response body lands is
+                    additionally tallied in write_failures_total.
+
+``/healthz`` is wired to the dispatcher: if the microbatcher thread dies
+(only a non-``Exception`` escape — e.g. SystemExit — can kill it), health
+flips to 503 so an orchestrator restarts the server instead of routing
+traffic into a wedged backend, and in-flight/new ``/predict`` requests fail
+fast. Handler waits on the batcher are bounded by ``--predict-timeout-s``
+(504 on expiry) so a stalled device can never strand client threads
+indefinitely.
 
 Requests are **microbatched**: a dispatcher thread collects up to
 ``--batch-size`` in-flight requests (waiting at most ``--max-wait-ms`` after
@@ -62,6 +73,7 @@ class ServingStats:
         self.ok_total = 0
         self.rejected_total = 0
         self.errors_total = 0
+        self.write_failures_total = 0
         self.batches_total = 0
         self.batched_images_total = 0
         self._latencies_ms = collections.deque(maxlen=window)
@@ -84,6 +96,10 @@ class ServingStats:
         with self._lock:
             self.errors_total += 1
 
+    def record_write_failure(self):
+        with self._lock:
+            self.write_failures_total += 1
+
     def record_batch(self, n_items: int):
         with self._lock:
             self.batches_total += 1
@@ -99,6 +115,7 @@ class ServingStats:
                 'ok_total': self.ok_total,
                 'rejected_total': self.rejected_total,
                 'errors_total': self.errors_total,
+                'write_failures_total': self.write_failures_total,
                 'batches_total': self.batches_total,
                 'batched_images_total': self.batched_images_total,
                 'window': self.window,
@@ -136,10 +153,17 @@ class Microbatcher:
         self.max_wait_s = max_wait_s
         self.on_batch = on_batch
         self.queue: queue.Queue[_Pending] = queue.Queue()
+        self.fatal: BaseException | None = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def alive(self) -> bool:
+        return self.fatal is None and self._thread.is_alive()
+
     def submit(self, image: np.ndarray) -> _Pending:
+        if not self.alive():
+            raise RuntimeError(
+                f'microbatcher thread is dead: {self.fatal!r}')
         item = _Pending(image)
         self.queue.put(item)
         return item
@@ -169,9 +193,23 @@ class Microbatcher:
             except Exception as exc:  # surface to every waiting request
                 for it in items:
                     it.error = exc
-            finally:
-                for it in items:
-                    it.event.set()
+            except BaseException as exc:
+                # fatal (SystemExit etc.): record it so alive() flips false
+                # (-> /healthz 503, submit fail-fast), fail this batch AND
+                # everything already queued, then let the thread die
+                self.fatal = exc
+                err = RuntimeError(f'microbatcher thread died: {exc!r}')
+                while True:
+                    for it in items:
+                        it.error = err
+                        it.event.set()
+                    try:
+                        items = [self.queue.get_nowait()]
+                    except queue.Empty:
+                        break
+                raise
+            for it in items:
+                it.event.set()
 
 
 def letterbox_uint8(image: PIL.Image.Image, width: int,
@@ -223,7 +261,8 @@ def make_runner(ckpt_path: str, precision: str):
 
 def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
                   batch_size: int = 8, max_wait_ms: float = 5.0,
-                  precision: str = 'bfloat16', warmup: bool = True):
+                  precision: str = 'bfloat16', warmup: bool = True,
+                  predict_timeout_s: float = 60.0):
     """Build (but do not start) the HTTP server; ``port=0`` picks a free
     port (see ``server.server_address``). Separated from ``main`` so tests
     drive the real serving stack in-process."""
@@ -268,15 +307,27 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
 
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header('Content-Type', 'application/json')
-            self.send_header('Content-Length', str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except OSError:
+                # client went away mid-response (broken pipe / timeout);
+                # the outcome counters above already recorded the COMPUTED
+                # result, this tracks the delivery failure separately
+                stats.record_write_failure()
+                self.close_connection = True
 
         def do_GET(self):
             if self.path == '/healthz':
-                self._json(200, {'status': 'ok'})
+                if batcher.alive():
+                    self._json(200, {'status': 'ok'})
+                else:
+                    self._json(503, {'status': 'unhealthy',
+                                     'reason': 'microbatcher thread dead: %r'
+                                     % (batcher.fatal,)})
             elif self.path == '/info':
                 self._json(200, info)
             elif self.path == '/metrics':
@@ -312,11 +363,21 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
                 self._json(400, {'error': 'body must be a decodable image'})
                 return
             t0 = perf_counter()
-            item = batcher.submit(pixels)
-            item.event.wait()
-            if item.error is not None:
+            try:
+                item = batcher.submit(pixels)
+            except RuntimeError as exc:  # batcher dead: fail fast
                 stats.record_error()
-                self._json(500, {'error': str(item.error)})
+                self._json(503, {'error': str(exc)})
+                return
+            if not item.event.wait(timeout=predict_timeout_s):
+                stats.record_error()
+                self._json(504, {'error': 'inference timed out after %gs'
+                                 % predict_timeout_s})
+                return
+            if item.error is not None or item.result is None:
+                stats.record_error()
+                self._json(500, {'error': str(item.error or
+                                              'no result produced')})
                 return
             stats.record_ok((perf_counter() - t0) * 1000.0)
             self._json(200, {
@@ -345,6 +406,9 @@ def parse_args(argv):
     parser.add_argument('--precision', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
                         help='compute dtype (bfloat16 is the throughput mode)')
+    parser.add_argument('--predict-timeout-s', type=float, default=60.0,
+                        help='max time a /predict request may wait on the '
+                             'device before answering 504')
     return parser.parse_args(argv[1:])
 
 
@@ -353,7 +417,7 @@ def main(argv, common_opts):
     server = create_server(
         args.model, host=args.host, port=args.port,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-        precision=args.precision)
+        precision=args.precision, predict_timeout_s=args.predict_timeout_s)
     host, port = server.server_address[:2]
     print(f'serving on http://{host}:{port} '
           f'(batch {args.batch_size}, {args.precision})')

@@ -51,6 +51,17 @@ def _auc_from_distances(dists) -> float:
         (dists.reshape(-1)[None, :] < thresholds[:, None]).mean())
 
 
+def expected_3d_skeleton(original_skel, dataset):
+    """Ground truth in evaluation space: canonical joints, root-relative
+    (the ``expected`` half of ``prepare_for_3d_evaluation``; shared with the
+    GUI's ground-truth-only 3D view so the two can never diverge)."""
+    return absolute_to_root_relative(
+        dataset.to_canonical_skeleton(
+            ensure_cartesian(np.asarray(original_skel, np.float64), d=3)),
+        CanonicalSkeletonDesc.root_joint_id,
+    )
+
+
 def prepare_for_3d_evaluation(original_skel, norm_pred, dataset, camera_intrinsics,
                               transform_opts, known_depth=False):
     """Process predictions and ground truth into root-relative original
@@ -70,10 +81,7 @@ def prepare_for_3d_evaluation(original_skel, norm_pred, dataset, camera_intrinsi
         dataset.to_canonical_skeleton(ensure_cartesian(pred_skel, d=3)),
         CanonicalSkeletonDesc.root_joint_id,
     )
-    expected = absolute_to_root_relative(
-        dataset.to_canonical_skeleton(ensure_cartesian(original_skel, d=3)),
-        CanonicalSkeletonDesc.root_joint_id,
-    )
+    expected = expected_3d_skeleton(original_skel, dataset)
     return expected, actual
 
 

@@ -684,3 +684,64 @@ def test_train_cli_seeded_reproducibility(tmp_path):
     # a different seed must actually change the trajectory (tripwire that
     # the seed config reaches the data order, augmentation, and init RNGs)
     assert losses_a != losses_c
+
+
+def test_serve_microbatcher_failure_paths():
+    """The dispatcher's failure contract, unit-level: an Exception in the
+    runner surfaces to every waiting request but keeps the batcher alive; a
+    BaseException (SystemExit etc.) kills it, fails queued waiters, flips
+    ``alive()`` (the /healthz 503 signal) and makes ``submit`` fail fast;
+    item waits are bounded (the /predict 504 path)."""
+    import threading
+    import time
+
+    from margipose_tpu.bin.serve import Microbatcher
+
+    # Exception path: batch fails, batcher survives
+    calls = []
+
+    def flaky(batch):
+        calls.append(len(batch))
+        if len(calls) == 1:
+            raise ValueError('transient device error')
+        return np.zeros((batch.shape[0], 17, 3))
+
+    b = Microbatcher(flaky, batch_size=2, max_wait_s=0.01)
+    img = np.zeros((4, 4, 3), np.uint8)
+    it = b.submit(img)
+    assert it.event.wait(timeout=10)
+    assert isinstance(it.error, ValueError)
+    assert b.alive()
+    it2 = b.submit(img)
+    assert it2.event.wait(timeout=10)
+    assert it2.error is None and it2.result.shape == (17, 3)
+
+    # BaseException path: batcher dies loudly, not silently
+    gate = threading.Event()
+
+    def fatal(batch):
+        gate.wait(5)
+        raise SystemExit('worker killed')
+
+    b2 = Microbatcher(fatal, batch_size=2, max_wait_s=0.01)
+    first = b2.submit(img)
+    time.sleep(0.1)  # let the batch window close so 'queued' lands after it
+    queued = b2.submit(img)
+    gate.set()
+    assert first.event.wait(timeout=10) and queued.event.wait(timeout=10)
+    assert 'died' in str(first.error) and 'died' in str(queued.error)
+    for _ in range(100):  # thread teardown races the flag by a hair
+        if not b2.alive():
+            break
+        time.sleep(0.05)
+    assert not b2.alive()
+    with pytest.raises(RuntimeError, match='dead'):
+        b2.submit(img)
+
+    # bounded wait: a wedged runner never strands the waiter past timeout
+    b3 = Microbatcher(lambda batch: time.sleep(30), batch_size=1,
+                      max_wait_s=0.01)
+    it3 = b3.submit(img)
+    t0 = time.monotonic()
+    assert not it3.event.wait(timeout=0.2)  # the /predict handler's wait
+    assert time.monotonic() - t0 < 5
