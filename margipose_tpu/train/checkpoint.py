@@ -155,6 +155,16 @@ def restore_checkpoint(ckpt_dir: str, template_state):
             "opt_state": template_state.opt_state,
         }
         restored = ckptr.restore(_state_dir_with_fallback(ckpt_dir), payload)
+    if not _is_multihost():
+        # orbax returns jax.Arrays COMMITTED to one device; a fresh state's
+        # leaves are uncommitted (jit-produced), letting the caller's mesh
+        # rebuild place them freely. Committed single-device leaves mixed
+        # with mesh-sharded params make the train step's dispatch fail with
+        # "incompatible devices", so return the leaves to host numpy and let
+        # the caller re-place them exactly like a fresh state. (Multi-host
+        # states stay as restored distributed arrays — each process only
+        # holds its addressable shards.)
+        restored = jax.tree.map(np.asarray, restored)
     return template_state.replace(
         step=restored["step"],
         params=restored["params"],

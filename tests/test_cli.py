@@ -745,3 +745,64 @@ def test_serve_microbatcher_failure_paths():
     t0 = time.monotonic()
     assert not it3.event.wait(timeout=0.2)  # the /predict handler's wait
     assert time.monotonic() - t0 < 5
+
+
+def test_train_cli_resume_equals_uninterrupted(tmp_path):
+    """``resume=`` must CONTINUE training, not merely restart it: a run
+    interrupted after epoch 1 and resumed for epoch 2 produces bit-identical
+    final parameters and identical epoch-2 metrics to an uninterrupted
+    2-epoch run. Rests on full-state checkpointing (params, optimiser,
+    step — the asymmetry the reference never fixed: it saved but never
+    reloaded these, reference: src/margipose/bin/train_3d.py:285-291,
+    374-382) plus the epoch-pinned sampler order (base.RandomSampler
+    .iter_epoch)."""
+    import jax
+
+    from margipose_tpu.bin.train_3d import ex, run_training
+    from margipose_tpu.train.checkpoint import load_model
+
+    base = [
+        'with', 'synthetic', 'sgd_simple', 'seed=55', 'batch_size=8',
+        'train_examples=16', 'val_examples=0', 'lr=0.02',
+        'num_workers=2', 'metrics_every=1',
+        "model_desc={'type': 'margipose', 'version': '6.0.1', "
+        "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
+        "'input_size': 96}}",
+        'train_datasets=["synthetic-16"]', 'val_datasets=[]',
+        'use_aug=False',
+    ]
+
+    def run(tag, epochs, extra=()):
+        out_dir = str(tmp_path / tag)
+        cfg = ex.parse(base + [f'out_dir={out_dir}', f'epochs={epochs}',
+                               f'experiment_id={tag}', *extra])
+        run_training(cfg)
+        exp_dir = path.join(out_dir, tag)
+        records = [json.loads(line)
+                   for line in open(path.join(exp_dir, 'metrics.jsonl'))]
+        return path.join(exp_dir, 'model-latest'), records
+
+    straight_ckpt, straight_recs = run('straight', epochs=2)
+    half_ckpt, _ = run('half', epochs=1)
+    resumed_ckpt, resumed_recs = run('resumed', epochs=2,
+                                     extra=[f'resume={half_ckpt}'])
+
+    _, vars_a, _ = load_model(straight_ckpt)
+    _, vars_b, _ = load_model(resumed_ckpt)
+    leaves_a = jax.tree_util.tree_leaves_with_path(vars_a)
+    leaves_b = dict(jax.tree_util.tree_leaves_with_path(vars_b))
+    assert leaves_a and len(leaves_a) == len(leaves_b)
+    for key, leaf in leaves_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(leaves_b[key]),
+            err_msg=jax.tree_util.keystr(key))
+
+    # the resumed run's (single) epoch-2 record matches the uninterrupted
+    # run's second record on every loss/metric field
+    def metric_fields(rec):
+        return {k: v for k, v in rec.items()
+                if k.endswith(('_loss', '_mpjpe', '_pck'))}
+
+    assert len(straight_recs) == 2 and len(resumed_recs) == 1
+    assert metric_fields(straight_recs[1]) == metric_fields(resumed_recs[0])
+    assert metric_fields(straight_recs[1])  # non-vacuous
