@@ -103,14 +103,19 @@ def run_lr_range_test(cfg: dict) -> dict:
                 return
             avg_loss = beta * avg_loss + (1 - beta) * loss
             smoothed = avg_loss / (1 - beta ** (i + 1))
-            losses.append(smoothed)
-            used_lrs.append(float(lrs[i]))
-            best_loss = min(best_loss, smoothed)
-            if smoothed > 4 * best_loss:
+            # reference iteration order (reference:
+            # src/margipose/bin/hyperparam_search.py:138-144): divergence is
+            # checked against the PREVIOUS minimum (guarded on it being
+            # positive), and a diverging point is neither recorded in the
+            # curve nor allowed to update the minimum
+            if best_loss > 0 and smoothed > 4 * best_loss:
                 print(f'stopping at iter {i}: loss diverged ({smoothed:.4g} '
                       f'> 4x {best_loss:.4g})')
                 stop = True
                 return
+            best_loss = min(best_loss, smoothed)
+            losses.append(smoothed)
+            used_lrs.append(float(lrs[i]))
             if i % 25 == 0:
                 print(f'iter {i:4d}  lr={lrs[i]:.3e}  loss={smoothed:.5f}',
                       flush=True)
