@@ -958,3 +958,58 @@ def test_chatterbox_matches_reference_exec(ref_models):
     got_2d = np.asarray(chatterbox_2d_losses(out, jnp.asarray(target)))
     assert_allclose(got_3d, ref_3d, rtol=1e-4, atol=1e-5)
     assert_allclose(got_2d, ref_2d, rtol=1e-4, atol=1e-5)
+
+
+def test_exported_state_dict_loads_into_reference_exec(ref_models):
+    """The REVERSE direction of the importer pins: a freshly-initialised
+    flax model exported with the production ``export_state_dict`` must
+    strict-load into the reference's OWN executed MargiPoseModel and
+    reproduce our forward — proving ``export_model -f torch`` emits
+    checkpoints the original implementation can actually run, without the
+    twin as an intermediary (reference:
+    src/margipose/models/margipose_model.py:153-267,
+    src/margipose/models/__init__.py:16-34)."""
+    from margipose_tpu.models.margipose import MargiPoseModel
+    from margipose_tpu.train.torch_import import (
+        convert_state_dict,
+        export_state_dict,
+    )
+
+    ref_mm, _ = ref_models
+    model = MargiPoseModel(n_joints=17, n_stages=2,
+                           feature_extractor="inceptionv4")
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in export_state_dict(variables).items()}
+
+    ref_model = ref_mm.MargiPoseModelFactory().create({
+        "type": "margipose", "version": "6.0.1",
+        "settings": {"n_stages": 2, "axis_permutation": True,
+                     "feature_extractor": "inceptionv4",
+                     "pixelwise_loss": "jsd"},
+    })
+    ref_model.load_state_dict(sd, strict=True)  # the reference accepts it
+    ref_model.eval()
+
+    # export -> reference -> import must be the identity on every leaf
+    # (layout transpositions and BN-stat mapping are exact inverses)
+    back = convert_state_dict(variables, ref_model.state_dict())
+    flat_orig = jax.tree_util.tree_leaves_with_path(dict(variables))
+    flat_back = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert flat_orig and len(flat_orig) == len(flat_back)
+    for key, leaf in flat_orig:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_back[key]),
+            err_msg=jax.tree_util.keystr(key))
+
+    # and the reference FORWARD on the exported weights agrees with ours.
+    # Freshly-initialised weights give near-saturated softmax rows, where
+    # XLA-vs-torch conv reduction ordering wiggles a handful of coordinate
+    # expectations by a few 1e-4 (same effect as in the import-direction
+    # forward test above, which damps or widens likewise).
+    x = np.random.RandomState(8).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_xyz = ref_model(torch.from_numpy(x)).numpy()
+    xyz, _ = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert_allclose(np.asarray(xyz), ref_xyz, atol=2e-3)
