@@ -91,6 +91,13 @@ def adjust_colour_pil(img: PIL.Image.Image, brightness=1.0, contrast=1.0,
         img = ImageEnhance.Color(img).enhance(saturation)
     if hue != 0.0:
         assert -0.5 <= hue <= 0.5, "hue must be in [-0.5, 0.5]"
+        # Convention note: the hue shift rounds to the nearest of 255 HSV
+        # steps; torchvision's PIL backend TRUNCATES (np.uint8(hue*255)),
+        # i.e. may differ by one step. The reference's colour jitter lives
+        # in pose3d_utils' AdjustColour (source unavailable in this
+        # environment), so which convention it used is unverifiable; this
+        # only perturbs augmentation draws, never the eval path. The native
+        # fused pass (native/margipose_host_ops.cpp) matches THIS rounding.
         h, s, v = img.convert("HSV").split()
         h_arr = np.array(h, dtype=np.uint8)
         h_arr = (h_arr.astype(np.int16) + int(round(hue * 255))).astype(np.uint8)
@@ -154,6 +161,14 @@ class TransformerContext:
                 # PIL transform + three enhance passes); falls back to PIL.
                 from margipose_tpu import native
 
+                # The native pass computes warp+colour in ONE float32 loop
+                # with a single final uint8 round; the PIL fallback
+                # quantises to uint8 after the warp and after each enhance
+                # pass, so the two can differ by a few uint8 LSBs on
+                # augmented pixels. Bit-reproducibility (base.example_rng)
+                # is therefore PER-ENVIRONMENT: identical runs require the
+                # same implementation (run.sh builds the native lib, so
+                # production hosts all take the native path).
                 if native.available():
                     arr = native.warp_colour_norm(
                         image if is_array else np.asarray(image),

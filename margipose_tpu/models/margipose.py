@@ -419,7 +419,6 @@ def _stage_components(out: ModelOutput, target_xyz: jax.Array,
         yield px_xy, px_zy, px_xz, cxy, actual_xyz
 
 
-_EPS = 1e-24
 
 
 def _stacked_js(stacked: jax.Array, target_xyz: jax.Array, sigma) -> jax.Array:
@@ -437,16 +436,26 @@ def _stacked_js(stacked: jax.Array, target_xyz: jax.Array, sigma) -> jax.Array:
 
 def _js_vs_gauss(p: jax.Array, tw: jax.Array, th: jax.Array, sigma) -> jax.Array:
     """JS divergence of [S, B, H, W, J] heatmaps against separable Gaussians
-    centred at (tw, th) [S, B, J] per plane. Returns [S, B, J]."""
-    _, _, h, w, _ = p.shape
-    from margipose_tpu.ops.dsnt import normalized_linspace
+    centred at (tw, th) [S, B, J] per plane. Returns [S, B, J].
 
+    Gaussian convention + eps shared with ops.dsnt (gauss_axis_coeff /
+    DIVERGENCE_EPS); targets are constants like every divergence loss in
+    the framework (see ops.dsnt._divergence_reg_losses)."""
+    _, _, h, w, _ = p.shape
+    from margipose_tpu.ops.dsnt import (
+        DIVERGENCE_EPS as _EPS,
+        gauss_axis_coeff,
+        normalized_linspace,
+    )
+
+    tw = jax.lax.stop_gradient(tw)
+    th = jax.lax.stop_gradient(th)
     cw = normalized_linspace(w, p.dtype)
     ch = normalized_linspace(h, p.dtype)
-    kw = -0.5 * (w / (2.0 * sigma)) ** 2
-    kh = -0.5 * (h / (2.0 * sigma)) ** 2
-    gw = jnp.exp(kw * (cw[:, None] - tw[:, :, None, :]) ** 2)  # [S,B,W,J]
-    gh = jnp.exp(kh * (ch[:, None] - th[:, :, None, :]) ** 2)  # [S,B,H,J]
+    gw = jnp.exp(gauss_axis_coeff(w, sigma)
+                 * (cw[:, None] - tw[:, :, None, :]) ** 2)  # [S,B,W,J]
+    gh = jnp.exp(gauss_axis_coeff(h, sigma)
+                 * (ch[:, None] - th[:, :, None, :]) ** 2)  # [S,B,H,J]
     q = gh[:, :, :, None, :] * gw[:, :, None, :, :]  # [S,B,H,W,J]
     q = q / (jnp.sum(q, axis=(2, 3), keepdims=True) + _EPS)
 

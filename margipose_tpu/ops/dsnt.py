@@ -17,7 +17,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-24
+# Shared by every Gaussian/divergence implementation in the framework (this
+# module, the stacked margipose loss in models/margipose.py, and the fused
+# Pallas chatterbox kernel in ops/pallas_dsnt.py) so the rendering
+# convention can only change in one place.
+DIVERGENCE_EPS = 1e-24
+_EPS = DIVERGENCE_EPS
+
+
+def gauss_axis_coeff(size, sigma):
+    """Coefficient k of one separable-Gaussian axis factor
+    ``exp(k * (coord - mu)**2)`` over a ``normalized_linspace(size)`` grid
+    with ``sigma`` in PIXELS: the normalised-coordinate stddev is
+    ``2*sigma/size``, so ``k = -0.5 * (size / (2*sigma))**2``
+    (reference: src/margipose/dsntnn.py:178-183)."""
+    return -0.5 * (size / (2.0 * sigma)) ** 2
 
 
 def normalized_linspace(length: int, dtype=jnp.float32) -> jax.Array:
@@ -117,9 +131,7 @@ def make_gauss(means: jax.Array, size, sigma, normalize: bool = True) -> jax.Arr
     for i, s in enumerate(reversed(size)):  # i=0 -> x -> last size dim
         coords = normalized_linspace(s, means.dtype)
         dist = (coords - means[..., i : i + 1]) ** 2  # [..., s]
-        stddev = 2.0 * sigma / s
-        k = -0.5 * (1.0 / stddev) ** 2
-        exp = jnp.exp(dist * k)
+        exp = jnp.exp(dist * gauss_axis_coeff(s, sigma))
         # Place this factor on spatial axis -(i+1), broadcasting over others.
         new_shape = batch_shape + (1,) * (n - 1 - i) + (s,) + (1,) * i
         gauss = gauss * exp.reshape(new_shape)
@@ -140,6 +152,13 @@ def _js(p: jax.Array, q: jax.Array, ndims: int) -> jax.Array:
 
 
 def _divergence_reg_losses(heatmaps, mu_t, sigma_t, divergence):
+    # Framework contract: divergence regularisers treat the TARGET
+    # coordinates as constants (they come from the data pipeline). This is
+    # uniform across backends — the fused Pallas kernel's VJP also returns
+    # no mu cotangent — so gradients w.r.t. targets are zero everywhere
+    # rather than differing by dispatch path. make_gauss itself remains
+    # differentiable w.r.t. means for non-loss uses.
+    mu_t = jax.lax.stop_gradient(mu_t)
     ndims = mu_t.shape[-1]
     assert heatmaps.ndim == ndims + 2, f"expected heatmaps to be a {ndims + 2}D tensor"
     assert heatmaps.shape[:-ndims] == mu_t.shape[:-1]

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-24
+from margipose_tpu.ops.dsnt import DIVERGENCE_EPS as _EPS
+from margipose_tpu.ops.dsnt import gauss_axis_coeff
 
 
 def _row_coords(h: int, w: int, tile_n: int, dtype):
@@ -47,9 +48,11 @@ def _row_coords(h: int, w: int, tile_n: int, dtype):
 
 def _gauss_rows(mu, h: int, w: int, sigma: float, cx, cy):
     """Normalized separable Gaussian rows [tile_n, h*w] from mu [tile_n, 2].
-    Matches ops.dsnt.make_gauss exactly (incl. the 1e-24 normaliser)."""
-    kx = -0.5 * (w / (2.0 * sigma)) ** 2
-    ky = -0.5 * (h / (2.0 * sigma)) ** 2
+    Convention + eps imported from ops.dsnt (gauss_axis_coeff /
+    DIVERGENCE_EPS) so all three divergence-loss implementations share one
+    definition."""
+    kx = gauss_axis_coeff(w, sigma)
+    ky = gauss_axis_coeff(h, sigma)
     dx2 = (cx - mu[:, 0:1]) ** 2
     dy2 = (cy - mu[:, 1:2]) ** 2
     g = jnp.exp(dx2 * kx) * jnp.exp(dy2 * ky)
@@ -160,6 +163,10 @@ def _dsnt_jsd_rows_bwd(static, residuals, g):
         out_shape=jax.ShapeDtypeStruct((n_pad, s), p.dtype),
         interpret=_interpret(),
     )(p_pad, mu_pad, g_pad)
+    # No mu cotangent BY CONTRACT: every divergence loss in the framework
+    # treats target coordinates as constants (ops.dsnt._divergence_reg_losses
+    # and models/margipose._js_vs_gauss stop_gradient them likewise), so the
+    # fused and composed paths agree under differentiation on every backend.
     return dp[:n], None
 
 

@@ -94,3 +94,40 @@ def test_fused_prime_row_count_pads():
 
     assert_allclose(np.asarray(jax.grad(fused_loss)(p)),
                     np.asarray(jax.grad(ref_loss)(p)), atol=1e-4)
+
+
+def test_target_gradient_contract_uniform_across_paths():
+    """Divergence losses treat target coordinates as CONSTANTS on every
+    dispatch path: the fused Pallas kernel's VJP returns no mu cotangent,
+    and the jnp compositions (ops.dsnt.js_reg_losses, the stacked
+    margipose _js_vs_gauss) stop_gradient their targets to match — so
+    gradients w.r.t. targets are zero everywhere instead of differing by
+    backend. Heatmap gradients stay live on all paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from margipose_tpu.models.margipose import _stacked_js
+    from margipose_tpu.ops.dsnt import flat_softmax, js_reg_losses
+    from margipose_tpu.ops.pallas_dsnt import dsnt_jsd_fused
+
+    rng = np.random.RandomState(0)
+    hm = flat_softmax(jnp.asarray(rng.randn(2, 3, 8, 8), jnp.float32))
+    mu = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 3, 2)), jnp.float32)
+
+    g_mu = jax.grad(
+        lambda m: jnp.sum(js_reg_losses(hm, m, 1.0)))(mu)
+    np.testing.assert_array_equal(np.asarray(g_mu), 0.0)
+
+    g_mu_fused = jax.grad(
+        lambda m: jnp.sum(dsnt_jsd_fused(hm, m, 1.0)[1]))(mu)
+    np.testing.assert_array_equal(np.asarray(g_mu_fused), 0.0)
+
+    stacked = flat_softmax(jnp.asarray(rng.randn(3, 2, 8, 8, 4), jnp.float32))
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 4, 3)), jnp.float32)
+    g_xyz = jax.grad(
+        lambda t: jnp.sum(_stacked_js(stacked, t, 1.0)))(xyz)
+    np.testing.assert_array_equal(np.asarray(g_xyz), 0.0)
+
+    # tripwire: heatmap gradients must remain live
+    g_hm = jax.grad(lambda p: jnp.sum(js_reg_losses(p, mu, 1.0)))(hm)
+    assert float(jnp.abs(g_hm).max()) > 0
