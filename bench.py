@@ -9,7 +9,7 @@ MargiPose model (4 stages, InceptionV4 stem) — the reference's measurement
 surface (reference: src/margipose/bin/eval_3d.py:60-62). On TPU the headline
 runs the bf16 mixed-precision path (f32 softmax/DSNT heads) at the best
 batch size from a small sweep; f32 numbers and train-step throughput go to
-stderr. The JSON line also carries ``precision``, ``batch``, ``mfu`` (model
+stderr. The JSON line also carries ``precision``, ``batch``, ``mfu`` + ``train_mfu`` (model
 FLOP utilisation from XLA's analytic cost analysis against the chip's peak)
 and ``train_images_per_sec``.
 
@@ -238,6 +238,12 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "train_images_per_sec": round(
             train_ips.get(headline_prec, train_ips.get("float32", 0.0)), 2),
+        # fwd+bwd ~= 3x forward FLOPs for this conv net
+        "train_mfu": (round(3 * flops_per_image
+                            * train_ips.get(headline_prec,
+                                            train_ips.get("float32", 0.0))
+                            / peak, 4)
+                      if (flops_per_image and peak) else None),
     }), flush=True)
 
 

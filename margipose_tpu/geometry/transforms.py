@@ -96,8 +96,10 @@ def adjust_colour_pil(img: PIL.Image.Image, brightness=1.0, contrast=1.0,
         # i.e. may differ by one step. The reference's colour jitter lives
         # in pose3d_utils' AdjustColour (source unavailable in this
         # environment), so which convention it used is unverifiable; this
-        # only perturbs augmentation draws, never the eval path. The native
-        # fused pass (native/margipose_host_ops.cpp) matches THIS rounding.
+        # only perturbs augmentation draws, never the eval path. (The
+        # native fused pass applies the shift continuously in float HSV —
+        # no 255-step quantisation — one of the documented few-LSB
+        # native-vs-PIL differences below.)
         h, s, v = img.convert("HSV").split()
         h_arr = np.array(h, dtype=np.uint8)
         h_arr = (h_arr.astype(np.int16) + int(round(hue * 255))).astype(np.uint8)
