@@ -166,6 +166,16 @@ class Microbatcher:
                 f'microbatcher thread is dead: {self.fatal!r}')
         item = _Pending(image)
         self.queue.put(item)
+        # Close the alive()-check -> put race: if the batcher died in
+        # between, its fatal-path queue drain may have run before this put
+        # landed, stranding the item until the 504 timeout. fatal is set
+        # BEFORE the drain, so observing it here means the drain might have
+        # missed us — fail the item directly (idempotent if the drain also
+        # got it: both write error and set the event).
+        if self.fatal is not None and not item.event.is_set():
+            item.error = RuntimeError(
+                f'microbatcher thread died: {self.fatal!r}')
+            item.event.set()
         return item
 
     def _loop(self):
@@ -215,14 +225,34 @@ class Microbatcher:
 def letterbox_uint8(image: PIL.Image.Image, width: int,
                     height: int) -> np.ndarray:
     """Aspect-fit the image into (width, height) with content at the
-    top-left on a black canvas (the ``infer`` convention), antialiased,
-    returned as uint8 HWC."""
+    top-left on a black canvas, returned as uint8 HWC.
+
+    Pixel-parity with ``infer`` (margipose_tpu/bin/infer_single.py
+    ``infer_image``): the SAME area-average prefilter (``PIL.Image.reduce``
+    by the integer part of the binding fit ratio, so the residual scale
+    lands in (0.5, 1.0] — alias-free for single-tap bilinear) followed by
+    the SAME bilinear affine resample — here the native/PIL host sampler,
+    whose numerics are pinned against the device warp infer uses
+    (tests/test_native.py, tests/test_device_aug.py). A model validated via
+    the infer CLI therefore sees the same pixels when served."""
     image = image.convert('RGB')
-    image.thumbnail((width, height))
-    canvas = np.zeros((height, width, 3), np.uint8)
-    arr = np.asarray(image, np.uint8)
-    canvas[:arr.shape[0], :arr.shape[1]] = arr
-    return canvas
+    fit_scale = min(width / image.width, height / image.height, 1.0)
+    reduce_factor = int(1.0 / fit_scale)
+    if reduce_factor > 1:
+        image = image.reduce(reduce_factor)
+    src = np.asarray(image, np.uint8)
+    scale = min(width / src.shape[1], height / src.shape[0], 1.0)
+    affine = np.array([[scale, 0.0, 0.0], [0.0, scale, 0.0], [0.0, 0.0, 1.0]],
+                      np.float32)
+    from margipose_tpu import native
+
+    if native.available():
+        return native.warp_rgb(src, affine, (width, height))
+    from margipose_tpu.geometry.transforms import warp_image_pil
+
+    return np.asarray(
+        warp_image_pil(PIL.Image.fromarray(src, 'RGB'), affine,
+                       (width, height)), np.uint8)
 
 
 def make_runner(ckpt_path: str, precision: str):
@@ -343,6 +373,12 @@ def create_server(ckpt_path: str, host: str = '127.0.0.1', port: int = 0,
             try:
                 length = int(self.headers.get('Content-Length', 0) or 0)
             except ValueError:
+                stats.record_rejected()
+                self._json(400, {'error': 'bad Content-Length'})
+                return
+            if length < 0:
+                # rfile.read(-1) would read until EOF/timeout, pinning a
+                # handler thread for the full socket timeout per request
                 stats.record_rejected()
                 self._json(400, {'error': 'bad Content-Length'})
                 return

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import datetime
 import json
+import sys
+import traceback
 from os import makedirs, path
 
 import jax
@@ -347,7 +349,20 @@ def run_training(cfg: dict) -> dict:
             tel.step()
     finally:
         if save_thread is not None:
-            save_thread.join()
+            try:
+                save_thread.join()
+            except Exception:
+                # A failed background save must not REPLACE an in-flight
+                # training exception (the join re-raises; see
+                # checkpoint._BackgroundSave) — the primary crash is what
+                # the user needs to see. With no exception propagating,
+                # the save failure IS the primary error: re-raise it.
+                if sys.exc_info()[0] is None:
+                    raise
+                traceback.print_exc()
+                print('warning: background checkpoint save failed (traceback '
+                      'above); the original training error follows',
+                      file=sys.stderr, flush=True)
 
     return result
 

@@ -326,6 +326,17 @@ def _crop_to_affine_source(arr, affine, out_width, out_height, margin=2):
     return cropped, (affine.astype(np.float64) @ t).astype(np.float32)
 
 
+def derive_epoch_rng(seed, epoch) -> np.random.RandomState:
+    """The shared (seed, epoch) -> RandomState derivation for epoch-pinned
+    sampler orders. Resume bit-reproducibility hinges on every sampler type
+    using this ONE convention (RandomSampler here, RoundRobinSampler in
+    data/mixed.py): a resumed run must regenerate exactly the order the
+    uninterrupted run consumed."""
+    derived = np.random.SeedSequence(
+        [int(seed), int(epoch)]).generate_state(1)[0]
+    return np.random.RandomState(derived)
+
+
 class RandomSampler:
     """Uniform sampler with a fixed number of examples per epoch.
 
@@ -358,9 +369,7 @@ class RandomSampler:
     def iter_epoch(self, epoch):
         if self.seed is None:
             return iter(self)
-        derived = np.random.SeedSequence(
-            [int(self.seed), int(epoch)]).generate_state(1)[0]
-        return self._draw(np.random.RandomState(derived))
+        return self._draw(derive_epoch_rng(self.seed, epoch))
 
 
 class SequentialSampler:

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from margipose_tpu.data.base import PoseDataset
+from margipose_tpu.data.base import PoseDataset, derive_epoch_rng
 
 
 class RoundRobinSampler:
@@ -40,9 +40,7 @@ class RoundRobinSampler:
         base.RandomSampler.iter_epoch)."""
         if self.seed is None:
             return iter(self)
-        derived = np.random.SeedSequence(
-            [int(self.seed), int(epoch)]).generate_state(1)[0]
-        return self._emit(np.random.RandomState(derived))
+        return self._emit(derive_epoch_rng(self.seed, epoch))
 
     def __len__(self):
         return self.num_samples

@@ -3,6 +3,7 @@
 import json
 import sys
 from os import path
+from time import perf_counter
 
 import numpy as np
 import pytest
@@ -596,6 +597,20 @@ def test_serve_http(trained_ckpt):
             assert resp.status == 413
         finally:
             conn.close()
+        # a NEGATIVE declared Content-Length must 400 immediately —
+        # rfile.read(-1) would otherwise read until EOF/timeout, pinning a
+        # handler thread for the full socket timeout per request
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        try:
+            conn.putrequest('POST', '/predict')
+            conn.putheader('Content-Length', '-1')
+            conn.endheaders()
+            t0 = perf_counter()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert perf_counter() - t0 < 10  # no read-until-timeout stall
+        finally:
+            conn.close()
         with urllib.request.urlopen(
                 f'http://{host}:{port}/healthz', timeout=30) as resp:
             assert json_mod.loads(resp.read())['status'] == 'ok'
@@ -616,10 +631,10 @@ def test_serve_http(trained_ckpt):
                 f'http://{host}:{port}/metrics', timeout=30) as resp:
             metrics = json_mod.loads(resp.read())
         # requests_total counts EVERY /predict received: 2 ok + 2 bad
-        # bodies + the oversize 413
-        assert metrics['requests_total'] == 5
+        # bodies + the oversize 413 + the negative-length 400
+        assert metrics['requests_total'] == 6
         assert metrics['ok_total'] == 2
-        assert metrics['rejected_total'] == 3  # 2 bad bodies + 413
+        assert metrics['rejected_total'] == 4  # 2 bad bodies + 413 + neg len
         assert metrics['errors_total'] == 0
         assert 1 <= metrics['batches_total'] <= 2
         assert metrics['batched_images_total'] == 2
@@ -745,6 +760,64 @@ def test_serve_microbatcher_failure_paths():
     t0 = time.monotonic()
     assert not it3.event.wait(timeout=0.2)  # the /predict handler's wait
     assert time.monotonic() - t0 < 5
+
+    # submit()'s post-put fatal re-check: an item whose put lands after the
+    # batcher dies (and after its queue drain) is failed by the submitter
+    # instead of stranding until the 504 timeout. The live race window is
+    # sub-microsecond, so inject it: fatal flips between submit's alive()
+    # check and the put landing.
+    b4 = Microbatcher(lambda batch: np.zeros((batch.shape[0], 17, 3)),
+                      batch_size=2, max_wait_s=0.01)
+    orig_put = b4.queue.put
+
+    def racing_put(item):
+        b4.fatal = SystemExit('simulated death')  # batcher "dies" mid-submit
+        orig_put(item)
+
+    b4.queue.put = racing_put
+    late = b4.submit(img)  # the REAL submit path, with the race forced
+    assert late.event.is_set() and 'died' in str(late.error)
+    b4.queue.put = orig_put
+    with pytest.raises(RuntimeError, match='dead'):
+        b4.submit(img)  # and the front door fails fast on the fatal flag
+
+
+def test_serve_letterbox_matches_infer_pixels():
+    """``/predict`` and ``infer`` must see the SAME pixels for the same
+    image (review finding: serve's old letterbox used PIL's antialiased
+    thumbnail kernel while infer area-prefilters then bilinear-warps, so
+    the two surfaces disagreed). Compares serve's host letterbox against
+    infer's exact pipeline (PIL.reduce prefilter + the device bilinear
+    warp, margipose_tpu/bin/infer_single.py::infer_image) for both a
+    shrink-to-fit and a smaller-than-canvas image; tolerance is the uint8
+    quantisation inherent to the uint8-ship encoding."""
+    import jax.numpy as jnp
+    import PIL.Image
+
+    from margipose_tpu.bin.serve import letterbox_uint8
+    from margipose_tpu.ops.image import affine_warp
+
+    rng = np.random.RandomState(0)
+    w = h = 64
+    for iw, ih in ((160, 96), (48, 40)):
+        arr = rng.randint(0, 256, (ih, iw, 3), dtype=np.uint8)
+        image = PIL.Image.fromarray(arr, 'RGB')
+        got = letterbox_uint8(image, w, h)
+        assert got.shape == (h, w, 3) and got.dtype == np.uint8
+
+        ref_img = image.convert('RGB')
+        fit_scale = min(w / ref_img.width, h / ref_img.height, 1.0)
+        reduce_factor = int(1.0 / fit_scale)
+        if reduce_factor > 1:
+            ref_img = ref_img.reduce(reduce_factor)
+        src = np.asarray(ref_img, np.float32) / 255.0
+        scale = min(w / src.shape[1], h / src.shape[0], 1.0)
+        affine = np.array([[scale, 0.0, 0.0], [0.0, scale, 0.0],
+                           [0.0, 0.0, 1.0]], np.float32)
+        ref = np.asarray(affine_warp(jnp.asarray(src[None]),
+                                     jnp.asarray(affine[None]), h, w))[0]
+        np.testing.assert_allclose(got.astype(np.float32) / 255.0, ref,
+                                   atol=2.0 / 255.0)
 
 
 def test_train_cli_resume_equals_uninterrupted(tmp_path):
