@@ -348,23 +348,37 @@ def run_training(cfg: dict) -> dict:
                     background=True)
             tel.step()
     finally:
-        if save_thread is not None:
-            try:
-                save_thread.join()
-            except Exception:
-                # A failed background save must not REPLACE an in-flight
-                # training exception (the join re-raises; see
-                # checkpoint._BackgroundSave) — the primary crash is what
-                # the user needs to see. With no exception propagating,
-                # the save failure IS the primary error: re-raise it.
-                if sys.exc_info()[0] is None:
-                    raise
-                traceback.print_exc()
-                print('warning: background checkpoint save failed (traceback '
-                      'above); the original training error follows',
-                      file=sys.stderr, flush=True)
+        _join_final_save(save_thread)
 
     return result
+
+
+def _join_final_save(save_thread):
+    """Join the last in-flight background checkpoint save from a ``finally``
+    block. A failed save must not REPLACE an in-flight training exception
+    (``join()`` re-raises; see checkpoint._BackgroundSave) — the primary
+    crash is what the user needs to see. With no exception propagating, the
+    save failure IS the primary error: re-raise it."""
+    # Must be sampled BEFORE the inner try: inside an except handler
+    # sys.exc_info() reports the just-caught exception, so testing it there
+    # can never distinguish "a training error is propagating" from "join()
+    # itself raised". Here (called during `finally` while an exception
+    # unwinds) it reports the propagating one.
+    in_flight = sys.exc_info()[0] is not None
+    if save_thread is None:
+        return
+    try:
+        save_thread.join()
+    # BaseException: _BackgroundSave.join() re-raises whatever the save
+    # thread captured, which may be e.g. SystemExit — that too must defer
+    # to an in-flight training error.
+    except BaseException:
+        if not in_flight:
+            raise
+        traceback.print_exc()
+        print('warning: background checkpoint save failed (traceback '
+              'above); the original training error follows',
+              file=sys.stderr, flush=True)
 
 
 def _host_metrics_np(batch, dataset, host_preds, tel, prefix):

@@ -309,6 +309,47 @@ def test_checkpoint_background_save_failure_reraises(tmp_path):
     thread.join()
 
 
+def test_join_final_save_exception_precedence():
+    """run_training's finally-block join guard (train_3d._join_final_save):
+    a failed background save re-raises when nothing else is propagating,
+    but must NOT replace an in-flight training exception — including when
+    the save thread died with a BaseException like SystemExit."""
+    import pytest
+
+    from margipose_tpu.bin.train_3d import _join_final_save
+
+    class FailingJoin:
+        def __init__(self, exc):
+            self.exc = exc
+
+        def join(self, timeout=None):
+            raise self.exc
+
+    # 1. no exception in flight: the save failure IS the primary error
+    with pytest.raises(ValueError, match='save blew up'):
+        try:
+            pass
+        finally:
+            _join_final_save(FailingJoin(ValueError('save blew up')))
+
+    # 2. training exception in flight: save failure deferred, primary wins
+    with pytest.raises(RuntimeError, match='training crashed'):
+        try:
+            raise RuntimeError('training crashed')
+        finally:
+            _join_final_save(FailingJoin(ValueError('save blew up')))
+
+    # 3. BaseException from the save thread also defers to the primary
+    with pytest.raises(RuntimeError, match='training crashed'):
+        try:
+            raise RuntimeError('training crashed')
+        finally:
+            _join_final_save(FailingJoin(SystemExit(3)))
+
+    # 4. no save thread, no exception: plain no-op
+    _join_final_save(None)
+
+
 def test_checkpoint_save_multihost_forces_synchronous(tmp_path, monkeypatch):
     """On multi-host runs the payload still references live device shards
     (each process writes only its addressable shards), which the next
