@@ -336,6 +336,7 @@ def main(argv, common_opts):
     # and GSPMD partitions the jitted forward. Per-chip throughput is the
     # single-device number; wall time divides by N.
     eval_sharding = None
+    eval_mesh = None
     n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
     if n_dev > 1:
         from margipose_tpu.parallel import make_mesh
@@ -355,9 +356,9 @@ def main(argv, common_opts):
             raise SystemExit(
                 f'eval: --batch-size {args.batch_size} must be divisible by '
                 f'--num-devices {n_dev}')
-        mesh = make_mesh(jax.devices()[:n_dev], shape=(n_dev, 1))
-        eval_sharding = batch_sharding(mesh)
-        variables = jax.device_put(variables, replicated_sharding(mesh))
+        eval_mesh = make_mesh(jax.devices()[:n_dev], shape=(n_dev, 1))
+        eval_sharding = batch_sharding(eval_mesh)
+        variables = jax.device_put(variables, replicated_sharding(eval_mesh))
         print(f'Data-parallel eval over {n_dev} devices')
 
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
@@ -373,8 +374,11 @@ def main(argv, common_opts):
     ship_specs = (dataset.data_specs.input_specs
                   if ship == 'uint8' else None)
 
-    @jax.jit
-    def jitted(images, target, mask, valid_depth):
+    from margipose_tpu.train.steps import shard_map_axis
+
+    eval_axis = shard_map_axis(eval_mesh)
+
+    def fwd_body(variables, images, target, mask, valid_depth):
         if images.dtype == jnp.uint8:
             images = device_renormalize(images, ship_specs)
         with compute_dtype_scope(compute_dtype):
@@ -384,10 +388,22 @@ def main(argv, common_opts):
         # loss computed inside the jit — eagerly it would dispatch dozens of
         # tiny ops per batch through the device runtime
         loss = margipose_masked_loss(out, target, mask, valid_depth,
-                                     pixelwise_loss)
+                                     pixelwise_loss, axis_name=eval_axis)
         return xyz.astype(jnp.float32), loss
 
-    forward = jitted
+    if eval_axis is not None:
+        # shard_map, not GSPMD: the partitioner replicates the stacked
+        # columns' grouped convolutions instead of batch-sharding them
+        # (see train.steps.shard_map_axis / tests/test_sharding_structure.py)
+        P = jax.sharding.PartitionSpec
+        fwd_body = jax.shard_map(
+            fwd_body, mesh=eval_mesh,
+            in_specs=(P(), P(eval_axis), P(eval_axis), P(eval_axis), P(eval_axis)),
+            out_specs=(P(eval_axis), P()))
+    jitted = jax.jit(fwd_body)
+
+    def forward(images, target, mask, valid_depth):
+        return jitted(variables, images, target, mask, valid_depth)
 
     df, stats = run_evaluation_3d(forward, loader, included_joints,
                                   known_depth=known_depth, print_progress=True,

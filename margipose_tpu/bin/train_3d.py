@@ -255,12 +255,15 @@ def run_training(cfg: dict) -> dict:
         batch_stats=shard_variables(state.batch_stats, mesh),
         opt_state=jax.device_put(state.opt_state),
     )
+    # mesh passed through: pure-DP meshes run the steps under jax.shard_map
+    # (see train.steps.shard_map_axis — the GSPMD partitioner replicates the
+    # stacked columns' grouped convolutions instead of batch-sharding them)
     train_step = make_train_step(model, optimiser,
                                  model_desc['settings'].get('pixelwise_loss', 'jsd'),
-                                 compute_dtype=cfg['precision'])
+                                 compute_dtype=cfg['precision'], mesh=mesh)
     eval_step = (make_eval_step(model,
                                 model_desc['settings'].get('pixelwise_loss', 'jsd'),
-                                compute_dtype=cfg['precision'])
+                                compute_dtype=cfg['precision'], mesh=mesh)
                  if val_loader else None)
     data_sharding = batch_sharding(mesh)
 

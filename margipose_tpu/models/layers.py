@@ -27,7 +27,10 @@ from margipose_tpu.ops.convs import (
     max_pool2d,
     relu,
 )
-from margipose_tpu.parallel.precision import current_compute_dtype
+from margipose_tpu.parallel.precision import (
+    current_compute_dtype,
+    current_shard_axis,
+)
 
 IntPair = Union[int, Sequence[int]]
 
@@ -149,6 +152,11 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cd = current_compute_dtype()
+        # Under a shard_map-over-'data' trace (parallel.precision.
+        # shard_axis_scope) batch statistics must span the GLOBAL batch to
+        # match single-device / GSPMD semantics, so the scope's axis acts as
+        # a default for axis_name.
+        axis_name = self.axis_name or current_shard_axis()
         sub = int(os.environ.get('MARGIPOSE_BN_STAT_SUBSAMPLE', '1') or '1')
         bf16_stats = (cd == jnp.bfloat16
                       and os.environ.get('MARGIPOSE_BN_BF16_STATS', '')
@@ -157,7 +165,7 @@ class BatchNorm(nn.Module):
             # name matches nn.BatchNorm's auto-assigned child scope so the
             # param/stat tree is identical in both modes
             return _CustomStatsBN(
-                self.epsilon, self.momentum, axis_name=self.axis_name,
+                self.epsilon, self.momentum, axis_name=axis_name,
                 stat_dtype=jnp.bfloat16 if bf16_stats else jnp.float32,
                 subsample=max(sub, 1), name='BatchNorm_0')(x)
         # Under a bf16 compute scope, pass dtype so the normalized output is
@@ -169,7 +177,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
-            axis_name=self.axis_name if train else None,
+            axis_name=axis_name if train else None,
             dtype=cd,
         )(x)
 

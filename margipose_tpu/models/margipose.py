@@ -533,7 +533,8 @@ def margipose_3d_losses(out: ModelOutput, target: jax.Array,
 def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.Array,
                           valid_depth: jax.Array,
                           pixelwise_loss: str | None = 'jsd',
-                          use_fused: bool | None = None) -> jax.Array:
+                          use_fused: bool | None = None,
+                          axis_name: str | None = None) -> jax.Array:
     """Vectorised per-example 3D/2D loss switch + masked mean — replaces the
     reference's Python-level per-example branch
     (reference: src/margipose/bin/train_3d.py:126-142).
@@ -557,4 +558,4 @@ def margipose_masked_loss(out: ModelOutput, target: jax.Array, joint_mask: jax.A
             losses_3d += px_xy + px_zy + px_xz + euclidean_losses(actual_xyz, target_xyz)
             losses_2d += px_xy + euclidean_losses(cxy, target_xy)
     losses = jnp.where(valid_depth[:, None] == 1, losses_3d, losses_2d)
-    return average_loss(losses, joint_mask)
+    return average_loss(losses, joint_mask, axis_name=axis_name)

@@ -106,16 +106,28 @@ def euclidean_losses(actual: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum((actual - target) ** 2, axis=-1))
 
 
-def average_loss(losses: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+def average_loss(losses: jax.Array, mask: jax.Array | None = None,
+                 axis_name: str | None = None) -> jax.Array:
     """Masked mean of per-location losses
-    (reference: src/margipose/dsntnn.py:99-121)."""
+    (reference: src/margipose/dsntnn.py:99-121).
+
+    ``axis_name``: inside jax.shard_map over a batch-sharded mesh axis,
+    psum the numerator and denominator over it so the result is the masked
+    mean over the GLOBAL batch (identical to the single-device value up to
+    reduction order)."""
     if mask is not None:
         assert mask.shape == losses.shape, "mask must be the same size as losses"
         losses = losses * mask
-        denom = jnp.clip(jnp.sum(mask), 1.0, None)
+        denom = jnp.sum(mask)
     else:
-        denom = max(losses.size, 1)
-    return jnp.sum(losses) / denom
+        denom = jnp.asarray(float(losses.size), losses.dtype)
+    num = jnp.sum(losses)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
+    if mask is not None:
+        denom = jnp.clip(denom, 1.0, None)
+    return num / denom
 
 
 def make_gauss(means: jax.Array, size, sigma, normalize: bool = True) -> jax.Array:

@@ -49,6 +49,32 @@ def compute_dtype_scope(dtype):
     finally:
         _COMPUTE_DTYPE.reset(token)
 
+# Trace-time shard-map axis scope, same pattern as the compute dtype above:
+# when a step function is traced inside jax.shard_map over the 'data' mesh
+# axis, modules that must reduce over the GLOBAL batch (BatchNorm batch
+# statistics) consult this to emit the pmean — no axis_name plumbing through
+# the module tree, and the same model code serves the single-device, GSPMD
+# and shard_map paths.
+_SHARD_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "margipose_shard_axis", default=None
+)
+
+
+def current_shard_axis():
+    """Mesh axis name cross-device batch reductions must span (or None)."""
+    return _SHARD_AXIS.get()
+
+
+@contextlib.contextmanager
+def shard_axis_scope(axis_name):
+    """Run layer tracing under a shard_map data axis (e.g. 'data' or None)."""
+    token = _SHARD_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _SHARD_AXIS.reset(token)
+
+
 _DTYPES = {
     "float32": jnp.float32,
     "f32": jnp.float32,

@@ -206,16 +206,18 @@ def test_checkpoint_interrupted_save_fallback(tmp_path):
 
 
 def test_sharded_step_matches_single_device():
-    """GSPMD sharding (data x model mesh) must be numerically equivalent to
-    the unsharded step — collectives change reduction order only."""
+    """Sharded steps must be numerically equivalent to the unsharded step —
+    collectives change reduction order only. The pure-DP (8, 1) mesh runs
+    under jax.shard_map (explicit psums; see train.steps.shard_map_axis);
+    the hybrid (4, 2) mesh exercises the GSPMD tensor-parallel path."""
     model = small_model()
     opt = make_optimiser('1cycle', lr=0.01, max_iters=10)
     batch_np = fake_batch(np.random.RandomState(0), batch=8)
-    train_step = make_train_step(model, opt, donate=False)
 
     def one_step(mesh=None):
         state = create_train_state(
             model, jax.random.PRNGKey(0), opt, input_shape=(1, 64, 64, 3))
+        train_step = make_train_step(model, opt, donate=False, mesh=mesh)
         if mesh is None:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         else:
