@@ -1,0 +1,78 @@
+"""Crash resilience of the driver's dryrun_multichip gate.
+
+MULTICHIP_r03.json recorded rc=134: XLA:CPU's collective rendezvous
+abort()ed the whole process when a participant thread was starved past the
+40 s terminate timeout on this one-core host — a raw abort(), unrecoverable
+in-process by design (the same dryrun passes deterministically when
+re-run). dryrun_multichip now runs each step in a subprocess and retries on
+abnormal termination. These tests inject SIGABRT via the
+MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL hook (the child abort()s before importing
+jax on attempts <= N) to prove the retry path converts the exact recorded
+failure mode into a green artifact, and — in the slow tier — that the
+artifact survives a real CPU-starved host (a spinning sibling process on
+this single-core box).
+"""
+
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_retry_recovers_from_abort(monkeypatch, capsys):
+    """First attempt dies with SIGABRT (the r03 failure mode); the retry
+    succeeds and the artifact line is still printed."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL", "1")
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_ATTEMPTS", "2")
+    # flagship compile is covered by test_graft_entry; keep this one cheap
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_SKIP_FLAGSHIP", "1")
+    ge.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip OK" in out
+
+
+def test_exhausted_retries_raise(monkeypatch):
+    """If every attempt aborts, the failure surfaces (rc recorded) rather
+    than hanging or silently passing. Cheap: the injected abort fires
+    before the child imports jax."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL", "99")
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_ATTEMPTS", "2")
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_SKIP_FLAGSHIP", "1")
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_survives_cpu_starvation(monkeypatch, capsys):
+    """Forced starvation: a spinning sibling process halves this one-core
+    host's CPU for the whole dryrun. The raised collective terminate
+    timeout (600 s via compiler_options) plus subprocess retries must still
+    deliver a green artifact — the exact scenario that turned
+    MULTICHIP_r03.json red."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_SKIP_FLAGSHIP", "1")
+    hog = subprocess.Popen(
+        [sys.executable, "-c",
+         "import time\nend = time.monotonic() + 900\n"
+         "while time.monotonic() < end: pass"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        start = time.monotonic()
+        ge.dryrun_multichip(8)
+        elapsed = time.monotonic() - start
+    finally:
+        hog.kill()
+        hog.wait()
+    out = capsys.readouterr().out
+    assert "dryrun_multichip OK" in out
+    assert elapsed < 900, f"dryrun under starvation took {elapsed:.0f}s"

@@ -24,9 +24,13 @@ def test_dryrun_multichip_8(capsys):
     elapsed = time.monotonic() - start
     out = capsys.readouterr().out
     assert "dryrun_multichip OK" in out
-    # Driver budget guard: even with a cold cache this must compile + run in
-    # well under the driver timeout; warm runs take seconds.
-    assert elapsed < 420, f"dryrun took {elapsed:.0f}s — over driver budget"
+    # Round 4: the dryrun also records flagship GSPMD evidence every run
+    # (compile-only second child step).
+    assert "flagship GSPMD compile OK" in out
+    # Driver budget guard: even with a cold cache both child steps must
+    # compile + run in well under the driver timeout; warm runs take
+    # seconds (persistent cache shared with the rest of the suite).
+    assert elapsed < 600, f"dryrun took {elapsed:.0f}s — over driver budget"
 
 
 def test_entry_traces():
