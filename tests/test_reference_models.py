@@ -54,6 +54,11 @@ from numpy.testing import assert_allclose  # noqa: E402
 
 from torch_twin import randomize_bn, t_inception_feature_blocks  # noqa: E402
 
+# reference_exec: builds + runs the reference's own torch models on every
+# test — minutes of work that belongs in the full tier (quick tier:
+# -m 'not slow').
+pytestmark = [pytest.mark.slow, pytest.mark.reference_exec]
+
 REFERENCE_SRC = "/root/reference/src/margipose"
 
 

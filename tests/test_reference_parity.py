@@ -42,6 +42,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# reference_exec: these tests re-execute reference preprocessing/metrics
+# end-to-end on every run — minutes of work that belongs in the full tier
+# (quick tier: -m 'not slow').
+pytestmark = [pytest.mark.slow, pytest.mark.reference_exec]
+
 REFERENCE_SRC = "/root/reference/src/margipose"
 
 
