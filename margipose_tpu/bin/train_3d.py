@@ -334,6 +334,18 @@ def run_training(cfg: dict) -> dict:
                 do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding,
                                    ship_specs=ship_specs, renorm_step=renorm_step)
 
+            # record the schedule values the epoch's LAST update applied
+            # (update N reads the counter at N-1) so the metrics stream
+            # carries the full 1cycle trajectory, endpoints included
+            from margipose_tpu.train.schedules import schedule_values
+
+            lr_now, mom_now = schedule_values(
+                cfg['optim_algorithm'], cfg['lr'], max(int(state.step) - 1, 0),
+                max_iters=max_iters, milestones=cfg['lr_milestones'],
+                gamma=cfg['lr_gamma'], steps_per_epoch=steps_per_epoch)
+            tel['lr'].set_value(lr_now)
+            tel['momentum'].set_value(mom_now)
+
             result = {
                 'train_pck': tel['train_pck'].value(),
                 'train_mpjpe': tel['train_mpjpe'].value(),

@@ -175,6 +175,11 @@ def make_train_reporter(with_val=True, out_dir=None):
         "train_mpjpe": MeanValueMeter(),
         "train_pck": MeanValueMeter(),
         "train_images_per_sec": MeanValueMeter(),
+        # schedule values applied by the epoch's last optimiser step
+        # (train.schedules.schedule_values) — lets a soak/production run
+        # verify the 1cycle trajectory endpoints from the recorded metrics
+        "lr": ValueMeter(),
+        "momentum": ValueMeter(),
     }
     if with_val:
         meters.update({

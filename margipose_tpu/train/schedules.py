@@ -119,6 +119,23 @@ def sgd_momentum_scheduled(lr_sched, mom_sched) -> FusedGradientTransformation:
     return FusedGradientTransformation(init, update, fused_apply)
 
 
+def schedule_values(algorithm: str, lr: float, step: int, max_iters: int = None,
+                    milestones=None, gamma=None, steps_per_epoch: int = None):
+    """Host-side (lr, momentum) the optimiser applies at update ``step`` —
+    for the epoch meters (the reference logs its scheduler's values the same
+    way; reference: src/margipose/hyperparam_scheduler.py:24-42). Pure
+    recomputation from the config: the schedules are deterministic functions
+    of the step counter, so nothing needs to be read off the device."""
+    if algorithm == '1cycle':
+        lr_sched, mom_sched = onecycle_schedules(max_iters, lr_max=lr,
+                                                 momentum=0.9)
+        return float(lr_sched(step)), float(mom_sched(step))
+    if algorithm == 'sgd_simple':
+        return float(lr), 0.0
+    sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
+    return float(sched(step)), (0.8 if algorithm == 'nesterov' else 0.0)
+
+
 def make_optimiser(algorithm: str, lr: float, max_iters: int = None,
                    milestones=None, gamma=None, steps_per_epoch: int = None):
     """Build the optax transform for a named algorithm, mirroring the
