@@ -42,6 +42,7 @@ def trained_ckpt(tmp_path_factory):
     return ckpt_dir
 
 
+@pytest.mark.slow  # 299s measured (r4 durations profile)
 def test_chatterbox_train_eval_cli(tmp_path, capsys):
     """End-to-end train + eval through the product surface for the SECOND
     model family: `train with chatterbox_model` then `eval` on the saved
@@ -243,6 +244,7 @@ def test_export_cli(trained_ckpt, tmp_path):
     np.testing.assert_allclose(a, b, atol=0)
 
 
+@pytest.mark.slow  # 153s measured (r4 durations profile)
 def test_hyperparams_cli(tmp_path, capsys):
     """LR range search end-to-end on synthetic data: geometric lr sweep,
     EMA-smoothed losses, CSV + PNG artifacts
@@ -321,6 +323,7 @@ def test_eval_cli_batched_matches_batch1(trained_ckpt, capsys):
     assert abs(m1 - m4) < 1e-3, (m1, m4)
 
 
+@pytest.mark.slow  # 36s measured (r4 durations profile)
 def test_eval_cli_data_parallel_matches_single_device(trained_ckpt, capsys):
     """--num-devices N shards eval batches over a pure-data mesh (weights
     replicated, GSPMD-partitioned forward) without changing metrics — run
@@ -646,6 +649,7 @@ def test_serve_http(trained_ckpt):
         server.server_close()
 
 
+@pytest.mark.slow  # 85s measured (r4 durations profile)
 def test_train_cli_seeded_reproducibility(tmp_path):
     """Two identically-seeded training runs through the product surface
     (threaded loader, full augmentation, validation pass) produce
@@ -820,6 +824,7 @@ def test_serve_letterbox_matches_infer_pixels():
                                    atol=2.0 / 255.0)
 
 
+@pytest.mark.slow  # 97s measured (r4 durations profile)
 def test_train_cli_resume_equals_uninterrupted(tmp_path):
     """``resume=`` must CONTINUE training, not merely restart it: a run
     interrupted after epoch 1 and resumed for epoch 2 produces bit-identical

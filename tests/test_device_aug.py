@@ -5,6 +5,7 @@ applies warp + colour + normalise as one fused XLA program over the batch.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from margipose_tpu.data.loader import device_prefetch, make_dataloader
 from margipose_tpu.data.synthetic import SyntheticPoseDataset
@@ -56,6 +57,7 @@ def test_device_aug_matches_host_pipeline():
         assert err.mean() < 0.02, float(err.mean())
 
 
+@pytest.mark.slow  # 27s measured (r4 durations profile)
 def test_device_aug_end_to_end_training():
     """run_training with device_aug=True on the synthetic dataset."""
     from margipose_tpu.bin.train_3d import ex, run_training

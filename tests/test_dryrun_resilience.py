@@ -24,6 +24,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+@pytest.mark.slow  # 42s measured (r4 durations profile)
 def test_retry_recovers_from_abort(monkeypatch, capsys):
     """First attempt dies with SIGABRT (the r03 failure mode); the retry
     succeeds and the artifact line is still printed."""

@@ -10,11 +10,14 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
 
+@pytest.mark.slow  # 91s measured (r4 durations profile)
 def test_dryrun_multichip_8(capsys):
     import __graft_entry__ as ge
 

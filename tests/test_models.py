@@ -95,6 +95,7 @@ def test_factory_dispatch():
     assert m2.n_stages == 1
 
 
+@pytest.mark.slow  # 53s measured (r4 durations profile)
 def test_masked_loss_and_grads():
     """Loss with mixed 2D/3D supervision is finite and differentiable."""
     model = MargiPoseModel(n_joints=17, n_stages=1, feature_extractor='resnet18')

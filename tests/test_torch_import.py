@@ -187,6 +187,7 @@ def test_convert_rejects_missing_and_extra_keys():
         convert_state_dict(template, extra)
 
 
+@pytest.mark.slow  # 39s measured (r4 durations profile)
 def test_chatterbox_state_dict_roundtrip():
     """export_state_dict / convert_state_dict are mutual inverses on the
     Chatterbox tree too — exercises the chatterbox-specific key mappings
