@@ -362,24 +362,26 @@ def run_training(cfg: dict) -> dict:
                            'train_datasets': cfg['train_datasets']},
                     background=True)
             tel.step()
-    finally:
-        _join_final_save(save_thread)
+    except BaseException:
+        _join_final_save(save_thread, in_flight=True)
+        raise
+    _join_final_save(save_thread, in_flight=False)
 
     return result
 
 
-def _join_final_save(save_thread):
-    """Join the last in-flight background checkpoint save from a ``finally``
-    block. A failed save must not REPLACE an in-flight training exception
-    (``join()`` re-raises; see checkpoint._BackgroundSave) — the primary
-    crash is what the user needs to see. With no exception propagating, the
-    save failure IS the primary error: re-raise it."""
-    # Must be sampled BEFORE the inner try: inside an except handler
-    # sys.exc_info() reports the just-caught exception, so testing it there
-    # can never distinguish "a training error is propagating" from "join()
-    # itself raised". Here (called during `finally` while an exception
-    # unwinds) it reports the propagating one.
-    in_flight = sys.exc_info()[0] is not None
+def _join_final_save(save_thread, *, in_flight):
+    """Join the last in-flight background checkpoint save. A failed save
+    must not REPLACE an in-flight training exception (``join()`` re-raises;
+    see checkpoint._BackgroundSave) — the primary crash is what the user
+    needs to see. With no exception propagating, the save failure IS the
+    primary error: re-raise it.
+
+    ``in_flight`` is passed explicitly by the caller's except/else
+    structure: sys.exc_info() cannot distinguish the training loop's own
+    propagating exception from one being handled in an ENCLOSING frame
+    (e.g. run_training invoked inside a caller's ``except`` block), which
+    would silently demote a save failure on a successful run."""
     if save_thread is None:
         return
     try:

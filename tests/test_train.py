@@ -62,6 +62,7 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 15
 
 
+@pytest.mark.slow  # 55s measured (r4 durations profile)
 def test_uint8_ship_training_matches_float32():
     """End-to-end run_training parity: ship='uint8' (lossless requantised
     inputs, re-normalised on device) must train identically to
@@ -205,6 +206,7 @@ def test_checkpoint_interrupted_save_fallback(tmp_path):
         np.asarray(jax.tree.leaves(restored2.params)[0]), np.asarray(a))
 
 
+@pytest.mark.slow  # 35s measured (r4 durations profile)
 def test_sharded_step_matches_single_device():
     """Sharded steps must be numerically equivalent to the unsharded step —
     collectives change reduction order only. The pure-DP (8, 1) mesh runs
@@ -312,10 +314,15 @@ def test_checkpoint_background_save_failure_reraises(tmp_path):
 
 
 def test_join_final_save_exception_precedence():
-    """run_training's finally-block join guard (train_3d._join_final_save):
+    """run_training's end-of-loop join guard (train_3d._join_final_save):
     a failed background save re-raises when nothing else is propagating,
     but must NOT replace an in-flight training exception — including when
-    the save thread died with a BaseException like SystemExit."""
+    the save thread died with a BaseException like SystemExit. The caller
+    passes ``in_flight`` explicitly from its except/else structure (the
+    guard must not probe sys.exc_info(): an exception being handled in an
+    ENCLOSING frame — run_training invoked inside a caller's ``except``
+    block — would look in-flight and demote a save failure on a clean
+    run)."""
     import pytest
 
     from margipose_tpu.bin.train_3d import _join_final_save
@@ -329,27 +336,27 @@ def test_join_final_save_exception_precedence():
 
     # 1. no exception in flight: the save failure IS the primary error
     with pytest.raises(ValueError, match='save blew up'):
-        try:
-            pass
-        finally:
-            _join_final_save(FailingJoin(ValueError('save blew up')))
+        _join_final_save(FailingJoin(ValueError('save blew up')),
+                         in_flight=False)
 
     # 2. training exception in flight: save failure deferred, primary wins
-    with pytest.raises(RuntimeError, match='training crashed'):
-        try:
-            raise RuntimeError('training crashed')
-        finally:
-            _join_final_save(FailingJoin(ValueError('save blew up')))
+    _join_final_save(FailingJoin(ValueError('save blew up')), in_flight=True)
 
     # 3. BaseException from the save thread also defers to the primary
-    with pytest.raises(RuntimeError, match='training crashed'):
-        try:
-            raise RuntimeError('training crashed')
-        finally:
-            _join_final_save(FailingJoin(SystemExit(3)))
+    _join_final_save(FailingJoin(SystemExit(3)), in_flight=True)
 
-    # 4. no save thread, no exception: plain no-op
-    _join_final_save(None)
+    # 4. even while an OUTER frame is handling an unrelated exception, a
+    # clean run's save failure must still surface (the sys.exc_info()
+    # approach failed exactly this case)
+    try:
+        raise KeyError('outer handler context')
+    except KeyError:
+        with pytest.raises(ValueError, match='save blew up'):
+            _join_final_save(FailingJoin(ValueError('save blew up')),
+                             in_flight=False)
+
+    # 5. no save thread, no exception: plain no-op
+    _join_final_save(None, in_flight=False)
 
 
 def test_checkpoint_save_multihost_forces_synchronous(tmp_path, monkeypatch):
