@@ -120,7 +120,9 @@ def average_loss(losses: jax.Array, mask: jax.Array | None = None,
         losses = losses * mask
         denom = jnp.sum(mask)
     else:
-        denom = jnp.asarray(float(losses.size), losses.dtype)
+        # floor of 1 matches the masked branch's clip: an empty losses
+        # array yields 0.0, not 0/0 = NaN
+        denom = jnp.asarray(max(float(losses.size), 1.0), losses.dtype)
     num = jnp.sum(losses)
     if axis_name is not None:
         num = jax.lax.psum(num, axis_name)

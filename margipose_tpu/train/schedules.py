@@ -132,8 +132,12 @@ def schedule_values(algorithm: str, lr: float, step: int, max_iters: int = None,
         return float(lr_sched(step)), float(mom_sched(step))
     if algorithm == 'sgd_simple':
         return float(lr), 0.0
-    sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
-    return float(sched(step)), (0.8 if algorithm == 'nesterov' else 0.0)
+    if algorithm in ('sgd', 'nesterov', 'rmsprop'):
+        # momentum constants mirror make_optimiser's presets below — keep
+        # the two in sync (trajectory-pinned in tests/test_reference_parity)
+        sched = multistep_schedule(lr, milestones, gamma, steps_per_epoch)
+        return float(sched(step)), (0.8 if algorithm == 'nesterov' else 0.0)
+    raise ValueError(f'unrecognised optimisation algorithm: {algorithm}')
 
 
 def make_optimiser(algorithm: str, lr: float, max_iters: int = None,

@@ -57,7 +57,10 @@ def main(exp_dir):
     # tests/test_reference_parity.py) evaluated at each epoch's LAST update
     from margipose_tpu.train.schedules import schedule_values
 
-    steps_per_epoch = -(-int(cfg["train_examples"]) // int(cfg["batch_size"]))
+    # floor division: the training loader drops the last partial batch
+    # (train/helpers.py drop_last=True; loader.__len__), so the trainer's
+    # steps_per_epoch/max_iters are floors, not ceilings
+    steps_per_epoch = int(cfg["train_examples"]) // int(cfg["batch_size"])
     max_iters = epochs * steps_per_epoch
     expected = np.array([
         schedule_values(cfg["optim_algorithm"], lr_max,
