@@ -33,24 +33,63 @@ from margipose_tpu.utils import seed_all
 ex = Experiment()
 ex.add_named_config('margipose_model', model_desc=Default_MargiPose_Desc)
 ex.add_named_config('chatterbox_model', model_desc=Default_Chatterbox_Desc)
-ex.add_named_config('mpi3d', train_datasets=['mpi3d-trainval', 'mpii-trainval'])
+# dataset presets are an extension (the reference hyperparams bin has only
+# the model presets); 'mpi3d' matches the reference's default dataset pair
+ex.add_named_config('mpi3d', train_datasets=['mpi3d-train', 'mpii-train'])
 ex.add_named_config('h36m', train_datasets=['h36m-trainval', 'mpii-trainval'])
 ex.add_named_config('synthetic', train_datasets=['synthetic-512'])
 
+# defaults pinned against the reference's executed config block
+# (reference: src/margipose/bin/hyperparam_search.py:58-69;
+# tests/test_reference_bins.py); model_desc/seed/out_dir/use_aug/num_workers
+# are extensions (the reference requires `with <model>` and seeds via sacred)
 ex.add_config(
     seed=12345,
     model_desc=Default_MargiPose_Desc,
-    train_datasets=['synthetic-512'],
+    train_datasets=['mpi3d-train', 'mpii-train'],
     batch_size=32,
-    lr_min=1e-5,
-    lr_max=100.0,
+    lr_min=1e-1,
+    lr_max=1e2,
     max_iters=1000,
-    ema_beta=0.98,
+    ema_beta=0.99,
+    weight_decay=0.0,
     momentum=0.9,
     out_dir='out',
     use_aug=True,
     num_workers=4,
 )
+
+
+class LRCurveAccumulator:
+    """EMA smoothing + divergence stop of the Leslie-Smith range test,
+    exactly as the reference's search loop applies them (reference:
+    src/margipose/bin/hyperparam_search.py:137-148; executed-reference
+    trajectory pin in tests/test_reference_bins.py): bias-corrected EMA by
+    iteration count, divergence checked against the PREVIOUS minimum
+    (guarded on it being positive), and a diverging point neither recorded
+    in the curve nor allowed to update the minimum."""
+
+    def __init__(self, beta: float):
+        self.beta = beta
+        self.avg_loss = 0.0
+        self.min_loss = float('inf')
+        self.smoothed = []  # recorded curve (excludes the diverging point)
+        self.stopped = False
+
+    def add(self, i: int, loss: float) -> bool:
+        """Fold in the raw loss of iteration ``i`` (0-based); returns True
+        when the sweep should stop (divergence or non-finite loss)."""
+        if not np.isfinite(loss):
+            self.stopped = True
+            return True
+        self.avg_loss = self.beta * self.avg_loss + (1 - self.beta) * loss
+        smoothed = self.avg_loss / (1 - self.beta ** (i + 1))
+        if self.min_loss > 0 and smoothed > 4 * self.min_loss:
+            self.stopped = True
+            return True
+        self.min_loss = min(smoothed, self.min_loss)
+        self.smoothed.append(smoothed)
+        return False
 
 
 def run_lr_range_test(cfg: dict) -> dict:
@@ -66,9 +105,18 @@ def run_lr_range_test(cfg: dict) -> dict:
     lrs = np.geomspace(cfg['lr_min'], cfg['lr_max'], cfg['max_iters'])
     lr_schedule = lambda count: jax.numpy.asarray(lrs)[
         jax.numpy.clip(count, 0, len(lrs) - 1).astype(int)]
-    optimiser = optax.inject_hyperparams(
-        lambda learning_rate: optax.sgd(learning_rate, momentum=cfg['momentum'])
-    )(learning_rate=lr_schedule)
+
+    def sgd(learning_rate):
+        # torch.optim.SGD semantics (the reference's optimiser, reference:
+        # src/margipose/bin/hyperparam_search.py:105): weight decay added
+        # to the gradient BEFORE the momentum buffer
+        opt = optax.sgd(learning_rate, momentum=cfg['momentum'])
+        if cfg.get('weight_decay'):
+            opt = optax.chain(
+                optax.add_decayed_weights(cfg['weight_decay']), opt)
+        return opt
+
+    optimiser = optax.inject_hyperparams(sgd)(learning_rate=lr_schedule)
 
     h, w = data_specs.input_specs.height, data_specs.input_specs.width
     state = create_train_state(model, jax.random.PRNGKey(cfg['seed']), optimiser,
@@ -77,9 +125,9 @@ def run_lr_range_test(cfg: dict) -> dict:
         model, optimiser, cfg['model_desc']['settings'].get('pixelwise_loss', 'jsd'),
         donate=False)
 
-    losses, used_lrs = [], []
-    avg_loss, best_loss = 0.0, float('inf')
-    beta = cfg['ema_beta']
+    used_lrs = []
+    curve = LRCurveAccumulator(cfg['ema_beta'])
+    losses = curve.smoothed
 
     # Device->host loss reads cost a full relay round-trip on remote TPU
     # runtimes; keep losses on device and drain them in batches of 8, so
@@ -89,7 +137,7 @@ def run_lr_range_test(cfg: dict) -> dict:
     stop = False
 
     def process_pending():
-        nonlocal avg_loss, best_loss, stop, drained_upto
+        nonlocal stop, drained_upto
         vals = np.asarray(jnp.stack(pending))
         pending.clear()
         base_i = drained_upto
@@ -97,28 +145,16 @@ def run_lr_range_test(cfg: dict) -> dict:
         for k, loss in enumerate(vals):
             i = base_i + k
             loss = float(loss)
-            if not np.isfinite(loss):
-                print(f'stopping at iter {i}: non-finite loss')
+            if curve.add(i, loss):
+                reason = ('non-finite loss' if not np.isfinite(loss) else
+                          f'loss diverged (> 4x {curve.min_loss:.4g})')
+                print(f'stopping at iter {i}: {reason}')
                 stop = True
                 return
-            avg_loss = beta * avg_loss + (1 - beta) * loss
-            smoothed = avg_loss / (1 - beta ** (i + 1))
-            # reference iteration order (reference:
-            # src/margipose/bin/hyperparam_search.py:138-144): divergence is
-            # checked against the PREVIOUS minimum (guarded on it being
-            # positive), and a diverging point is neither recorded in the
-            # curve nor allowed to update the minimum
-            if best_loss > 0 and smoothed > 4 * best_loss:
-                print(f'stopping at iter {i}: loss diverged ({smoothed:.4g} '
-                      f'> 4x {best_loss:.4g})')
-                stop = True
-                return
-            best_loss = min(best_loss, smoothed)
-            losses.append(smoothed)
             used_lrs.append(float(lrs[i]))
             if i % 25 == 0:
-                print(f'iter {i:4d}  lr={lrs[i]:.3e}  loss={smoothed:.5f}',
-                      flush=True)
+                print(f'iter {i:4d}  lr={lrs[i]:.3e}  '
+                      f'loss={curve.smoothed[-1]:.5f}', flush=True)
 
     import jax.numpy as jnp
 
