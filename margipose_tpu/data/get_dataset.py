@@ -30,7 +30,21 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False,
     training; see PoseDataset.example_rng). Synthetic datasets ignore it —
     their '@seed' name suffix defines the example POOL, not aug draws.
     """
+    try:
+        return _get_dataset(dataset_name, data_specs, use_aug, seed)
+    except (FileNotFoundError, NotADirectoryError) as e:
+        # The bare path the dataset classes raise is cryptic at the CLI
+        # (the default train/hyperparams configs reference real corpora,
+        # matching the reference's defaults). Same exception type, with
+        # the two actionable remedies attached.
+        raise type(e)(
+            f"{e.args[0] if e.args else e} — dataset {dataset_name!r} "
+            f"expects processed data under {base_data_dir()!r}; set "
+            f"MARGIPOSE_BASE_DATA_DIR to your dataset root, or use a "
+            f"hermetic 'synthetic[-N]' dataset name") from None
 
+
+def _get_dataset(dataset_name, data_specs, use_aug, seed) -> PoseDataset:
     mpi3d_match = re.fullmatch('mpi3d-(train|val|test|test-uncorrected)', dataset_name)
     if mpi3d_match:
         subset = mpi3d_match[1]
@@ -42,9 +56,9 @@ def get_dataset(dataset_name, data_specs=None, use_aug=False,
         )
     if dataset_name == 'mpi3d-trainval':
         return MixedPoseDataset([
-            get_dataset('mpi3d-train', data_specs, use_aug, seed=seed),
-            get_dataset('mpi3d-val', data_specs, use_aug,
-                        seed=None if seed is None else seed + 1),
+            _get_dataset('mpi3d-train', data_specs, use_aug, seed),
+            _get_dataset('mpi3d-val', data_specs, use_aug,
+                         None if seed is None else seed + 1),
         ], balanced_sampling=False)
 
     h36m_match = re.fullmatch('h36m-(trainval|test)', dataset_name)

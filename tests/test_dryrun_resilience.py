@@ -6,8 +6,8 @@ abort()ed the whole process when a participant thread was starved past the
 in-process by design (the same dryrun passes deterministically when
 re-run). dryrun_multichip now runs each step in a subprocess and retries on
 abnormal termination. These tests inject SIGABRT via the
-MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL hook (the child abort()s before importing
-jax on attempts <= N) to prove the retry path converts the exact recorded
+MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL hook (the child abort()s before any model
+build/compile on attempts <= N) to prove the retry path converts the exact recorded
 failure mode into a green artifact, and — in the slow tier — that the
 artifact survives a real CPU-starved host (a spinning sibling process on
 this single-core box).
@@ -41,8 +41,10 @@ def test_retry_recovers_from_abort(monkeypatch, capsys):
 
 def test_exhausted_retries_raise(monkeypatch):
     """If every attempt aborts, the failure surfaces (rc recorded) rather
-    than hanging or silently passing. Cheap: the injected abort fires
-    before the child imports jax."""
+    than hanging or silently passing. Cheap relative to a real dryrun: the
+    injected abort fires before any model build or compile — though each
+    attempt still pays the child's jax import (__graft_entry__ imports jax
+    at module top level under JAX_PLATFORMS=cpu)."""
     import __graft_entry__ as ge
 
     monkeypatch.setenv("MARGIPOSE_DRYRUN_TEST_ABORT_UNTIL", "99")
@@ -50,6 +52,22 @@ def test_exhausted_retries_raise(monkeypatch):
     monkeypatch.setenv("MARGIPOSE_DRYRUN_SKIP_FLAGSHIP", "1")
     with pytest.raises(RuntimeError, match="after 2 attempts"):
         ge.dryrun_multichip(8)
+
+
+def test_deterministic_failure_fails_fast(monkeypatch, capsys):
+    """A positive child rc (deterministic Python/assertion failure) must
+    surface after ONE attempt: retrying it would fail identically while
+    multiplying time-to-failure by MARGIPOSE_DRYRUN_ATTEMPTS on this
+    slow-compile host. Only abnormal termination (signal / timeout) — the
+    starvation SIGABRT mode the retry exists for — is retried."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_TEST_FAIL_UNTIL", "99")
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_ATTEMPTS", "3")
+    monkeypatch.setenv("MARGIPOSE_DRYRUN_SKIP_FLAGSHIP", "1")
+    with pytest.raises(RuntimeError, match="after 1 attempts"):
+        ge.dryrun_multichip(8)
+    assert "retrying" not in capsys.readouterr().err
 
 
 @pytest.mark.slow

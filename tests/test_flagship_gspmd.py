@@ -67,11 +67,12 @@ def test_flagship_train_step_compiles_over_8_device_mesh():
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     flops = float(ca.get('flops', 0.0))
-    # Under shard_map the compiled module is the PER-DEVICE program: fwd+bwd
-    # on the local batch of 2 is ~0.31 TFLOP (3 x 51.3 GFLOP/image x 2,
-    # within analytic-model slack); anything in the right order of magnitude
-    # proves the flagship graph (not a downsized stand-in) was compiled
-    assert flops > 1e11, flops
+    # shared floor (see the constant's comment for the analytic derivation)
+    # so this test and the driver artifact assert the same notion of
+    # "really the flagship graph was compiled"
+    import __graft_entry__ as ge
+
+    assert flops > ge.FLAGSHIP_MIN_PER_DEVICE_FLOPS, flops
 
     # and the partitioning STRUCTURE matches the pure-DP expectation
     # (psum-only collectives, replicated params, data-sharded batch) — see
