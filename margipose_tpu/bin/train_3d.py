@@ -453,7 +453,11 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
             return
         losses = np.asarray(jnp.stack(pending_losses))  # one transfer
         dt = time.perf_counter() - window_t0 - window_load_s
-        tel['train_loss'].add(float(losses.mean()))
+        # weight by window length: the epoch value must be the mean over
+        # BATCHES (reference adds one loss per batch —
+        # reference: src/margipose/bin/train_3d.py:167), and windows are
+        # ragged (the i % metrics_every == 0 drain and the tail)
+        tel['train_loss'].add(float(losses.mean()), len(losses))
         if not first_window:
             tel['step_time'].add(dt / len(pending_losses))
             tel['train_images_per_sec'].add(window_images / max(dt, 1e-9))

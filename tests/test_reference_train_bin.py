@@ -1,0 +1,646 @@
+"""Parity against the reference's executed train bin.
+
+Executes ``/root/reference/src/margipose/bin/train_3d.py`` — the training
+entry point whose per-batch loss accounting and meter semantics every
+convergence claim rests on (reference: src/margipose/bin/train_3d.py:
+126-226,267-391) — end-to-end via its own ``sacred_main`` on a stub model
+and a scripted dataloader. The logic-bearing imports are the reference's
+OWN executed ``dsntnn.py`` (average_loss / euclidean_losses) and
+``hyperparam_scheduler.py`` (the real 1cycle batch_step interpolation
+driving a real ``torch.optim.SGD``). Shims carry no logic under test:
+sacred config plumbing, tele meter/ sink registration (meters record raw
+add-streams), tqdm/cli glue, no-op seeding and timers.
+
+The rebuild side drives its REAL ``do_training_pass`` /
+``do_validation_pass`` (margipose_tpu/bin/train_3d.py) with its real meter
+registry and its real optax 1cycle optimiser, on the numerically identical
+batch stream and an equivalent one-parameter stub step. What this pins:
+
+- the per-epoch ``train_loss`` value is the mean over BATCHES of the
+  scalar masked loss (reference: train_3d.py:167) — this caught a real
+  divergence when first written: the rebuild's windowed drain added
+  ragged window means unweighted, biasing the epoch loss whenever
+  ``len(loader) % metrics_every != 0``;
+- train/val mpjpe+pck meter aggregation over valid-depth examples only
+  (reference: train_3d.py:119-123, data/__init__.py:135-146), with
+  metrics computed on PRE-update predictions;
+- the composed optimiser trajectory: reference 1cycle-over-torch-SGD
+  (batch_step BEFORE each update, train_3d.py:154-186) equals the
+  rebuild's optax scheduled SGD through a full multi-epoch pass — losses,
+  final parameter, and the run result (final-epoch train PCK,
+  train_3d.py:372);
+- validation-pass loss/metric accounting (train_3d.py:199-226).
+
+If the reference checkout is absent the tests skip, mirroring the
+dataset-absence skip pattern.
+"""
+
+import importlib.machinery
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = [pytest.mark.reference_exec]
+
+REFERENCE_SRC = "/root/reference/src/margipose"
+REF_BIN = os.path.join(REFERENCE_SRC, "bin", "train_3d.py")
+
+N_J = 4  # joints in the stub task
+
+
+# --------------------------------------------------------------------- #
+# tele / sacred shims (recording, no logic)
+# --------------------------------------------------------------------- #
+
+class _ValueMeter:
+    def __init__(self, skip_reset=False):
+        self.skip_reset = skip_reset
+        self._v = None
+
+    def set_value(self, v):
+        self._v = v
+
+    def value(self):
+        return self._v
+
+    def reset(self):
+        if not self.skip_reset:
+            self._v = None
+
+
+class _MeanValueMeter:
+    def __init__(self):
+        self._vals = []
+
+    def add(self, v):
+        self._vals.append(float(v))
+
+    def value(self):
+        # tele.MeanValueMeter.value() returns (mean, std); only [0] is read
+        return (float(np.mean(self._vals)) if self._vals else None, None)
+
+    def reset(self):
+        self._vals = []
+
+
+class _Telemetry:
+    def __init__(self, meters):
+        self.meters = dict(meters)
+        self.history = []  # per-epoch snapshots, appended on step()
+
+    def __getitem__(self, k):
+        return self.meters[k]
+
+    def sink(self, conf, views):
+        pass
+
+    def step(self):
+        snap = {}
+        for k, m in self.meters.items():
+            snap[k] = m.value()
+            m.reset()
+        self.history.append(snap)
+
+
+class _Experiment:
+    def __init__(self, *a, **kw):
+        self.config = {}
+        self.named_configs = {}
+        self.main_fn = None
+
+    def add_config(self, **kw):
+        self.config.update(kw)
+
+    def add_named_config(self, name, **kw):
+        self.named_configs[name] = lambda kw=kw: dict(kw)
+
+    def main(self, fn):
+        self.main_fn = fn
+        return fn
+
+    def capture(self, fn):
+        return fn
+
+    def run_commandline(self, argv):
+        raise NotImplementedError
+
+
+@pytest.fixture(scope="module")
+def ref_train_bin():
+    """Execute the reference train bin; yields the module."""
+    if not os.path.isfile(REF_BIN):
+        pytest.skip(f"{REF_BIN} not found")
+
+    keys = (
+        "sacred", "sacred.host_info", "sacred.run", "tele", "tele.meter",
+        "tele.console", "tele.console.views", "tele.sacred",
+        "tele.sacred.views", "tqdm", "pose3d_utils", "pose3d_utils.coords",
+        "margipose", "margipose.cli", "margipose.data",
+        "margipose.data.mpi_inf_3dhp", "margipose.dsntnn",
+        "margipose.hyperparam_scheduler", "margipose.models",
+        "margipose.models.margipose_model",
+        "margipose.models.chatterbox_model", "margipose.train_helpers",
+        "margipose.utils",
+    )
+    saved = {k: sys.modules.get(k) for k in keys}
+    saved_showoff = os.environ.pop("SHOWOFF_URL", None)
+    try:
+        sacred = types.ModuleType("sacred")
+        sacred.SETTINGS = {}
+        sacred.Experiment = _Experiment
+        host_info = types.ModuleType("sacred.host_info")
+        host_info.get_host_info = lambda: {}
+        run_mod = types.ModuleType("sacred.run")
+        run_mod.Run = object
+        sacred.host_info = host_info
+        sacred.run = run_mod
+        sys.modules["sacred"] = sacred
+        sys.modules["sacred.host_info"] = host_info
+        sys.modules["sacred.run"] = run_mod
+
+        tele = types.ModuleType("tele")
+        tele.Telemetry = _Telemetry
+        meter = types.ModuleType("tele.meter")
+        meter.ValueMeter = _ValueMeter
+        meter.MeanValueMeter = _MeanValueMeter
+        tele.meter = meter
+        console = types.ModuleType("tele.console")
+        console_views = types.ModuleType("tele.console.views")
+        console_views.KeyValue = lambda names: ("KeyValue", tuple(names))
+        console.views = console_views
+        console.Conf = lambda *a, **kw: None
+        tele.console = console
+        tele_sacred = types.ModuleType("tele.sacred")
+        tele_sacred_views = types.ModuleType("tele.sacred.views")
+        tele_sacred_views.Scalar = lambda names: ("Scalar", tuple(names))
+        tele_sacred.views = tele_sacred_views
+        tele_sacred.Conf = lambda *a, **kw: None
+        tele.sacred = tele_sacred
+        sys.modules["tele"] = tele
+        sys.modules["tele.meter"] = meter
+        sys.modules["tele.console"] = console
+        sys.modules["tele.console.views"] = console_views
+        sys.modules["tele.sacred"] = tele_sacred
+        sys.modules["tele.sacred.views"] = tele_sacred_views
+
+        tqdm_mod = types.ModuleType("tqdm")
+        tqdm_mod.tqdm = lambda it, *a, **kw: it
+        tqdm_mod.__spec__ = importlib.machinery.ModuleSpec("tqdm", None)
+        sys.modules["tqdm"] = tqdm_mod
+
+        p3u = types.ModuleType("pose3d_utils")
+        coords = types.ModuleType("pose3d_utils.coords")
+
+        def ensure_homogeneous(c, d):
+            if c.size(-1) == d + 1:
+                return c
+            assert c.size(-1) == d
+            return torch.cat([c, torch.ones_like(c[..., :1])], -1)
+
+        coords.ensure_homogeneous = ensure_homogeneous
+        p3u.coords = coords
+        sys.modules["pose3d_utils"] = p3u
+        sys.modules["pose3d_utils.coords"] = coords
+
+        pkg = types.ModuleType("margipose")
+        pkg.__path__ = [REFERENCE_SRC]
+        sys.modules["margipose"] = pkg
+
+        cli = types.ModuleType("margipose.cli")
+
+        class Subcommand:
+            def __init__(self, name=None, func=None, help=None):
+                self.name, self.func, self.help = name, func, help
+
+        cli.Subcommand = Subcommand
+        sys.modules["margipose.cli"] = cli
+
+        data_pkg = types.ModuleType("margipose.data")
+        data_pkg.__path__ = [os.path.join(REFERENCE_SRC, "data")]
+        sys.modules["margipose.data"] = data_pkg
+        mpi3d = types.ModuleType("margipose.data.mpi_inf_3dhp")
+
+        class MpiInf3dDataset:
+            preserve_root_joint_at_univ_scale = False
+
+        mpi3d.MpiInf3dDataset = MpiInf3dDataset
+        sys.modules["margipose.data.mpi_inf_3dhp"] = mpi3d
+
+        def load(mod_name, rel_path):
+            spec = importlib.util.spec_from_file_location(
+                mod_name, os.path.join(REFERENCE_SRC, rel_path))
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = module
+            spec.loader.exec_module(module)
+            return module
+
+        # logic-bearing imports: the reference's OWN modules
+        load("margipose.dsntnn", "dsntnn.py")
+        load("margipose.hyperparam_scheduler", "hyperparam_scheduler.py")
+
+        models = types.ModuleType("margipose.models")
+        models.create_model = lambda desc: (_ for _ in ()).throw(
+            NotImplementedError("patched per-test"))
+        sys.modules["margipose.models"] = models
+        mm = types.ModuleType("margipose.models.margipose_model")
+        mm.Default_MargiPose_Desc = {"type": "margipose", "version": "6.0.1"}
+        sys.modules["margipose.models.margipose_model"] = mm
+        cm = types.ModuleType("margipose.models.chatterbox_model")
+        cm.Default_Chatterbox_Desc = {"type": "chatterbox", "version": "1.3.0"}
+        sys.modules["margipose.models.chatterbox_model"] = cm
+
+        th = types.ModuleType("margipose.train_helpers")
+        th.visualise_predictions = lambda preds, batch, ds: [
+            f"img{i}" for i in range(len(preds))]
+        th.progress_iter = lambda it, name: it
+        th.create_showoff_notebook = lambda *a, **kw: None
+        th.learning_schedule = lambda *a, **kw: (_ for _ in ()).throw(
+            NotImplementedError("not under test"))
+        th.create_train_dataloader = lambda *a, **kw: (_ for _ in ()).throw(
+            NotImplementedError("patched per-test"))
+        th.create_val_dataloader = lambda *a, **kw: (_ for _ in ()).throw(
+            NotImplementedError("patched per-test"))
+        sys.modules["margipose.train_helpers"] = th
+
+        utils = types.ModuleType("margipose.utils")
+        utils.seed_all = lambda seed: None
+        utils.init_algorithms = lambda deterministic=False: None
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _timer(meter):
+            yield
+
+        def _generator_timer(iterable, meter):
+            yield from iterable
+
+        utils.timer = _timer
+        utils.generator_timer = _generator_timer
+        sys.modules["margipose.utils"] = utils
+
+        spec = importlib.util.spec_from_file_location(
+            "reference_train_3d", REF_BIN)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        if saved_showoff is not None:
+            os.environ["SHOWOFF_URL"] = saved_showoff
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+# --------------------------------------------------------------------- #
+# Shared scripted task
+# --------------------------------------------------------------------- #
+
+def _make_batches(n_batches, batch_size, seed, mixed_depth=True):
+    """Numpy batch stream consumed (converted) by BOTH sides."""
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_batches):
+        inp = rng.uniform(-0.8, 0.8, (batch_size, N_J, 3)).astype(np.float32)
+        tgt = rng.uniform(-0.7, 0.7, (batch_size, N_J, 3)).astype(np.float32)
+        tgt = np.concatenate(
+            [tgt, np.ones((batch_size, N_J, 1), np.float32)], axis=-1)
+        mask = (rng.uniform(size=(batch_size, N_J)) > 0.15).astype(np.float32)
+        mask[:, 0] = 1.0  # masked mean must keep a nonzero denominator
+        if mixed_depth:
+            vd = (rng.uniform(size=batch_size) > 0.3).astype(np.int64)
+            vd[0] = 1  # metric meters need at least one valid-depth example
+        else:
+            vd = np.ones(batch_size, np.int64)
+        # the metric stubs score against original_skel: it is the only
+        # ground-truth field the rebuild's validation drain keeps on the
+        # host batch (bin/train_3d.py do_validation_pass host_keep)
+        batches.append(dict(input=inp, target=tgt, joint_mask=mask,
+                            valid_depth=vd,
+                            original_skel=tgt.astype(np.float64)))
+    return batches
+
+
+def _stub_metrics(preds3, targets3, valid_depth):
+    """The scripted per-example metric both stub datasets share (the real
+    evaluate_3d_batch path is pinned by test_reference_eval_bin); filters
+    to valid_depth==1 like the reference
+    (reference: src/margipose/data/__init__.py:135-146)."""
+    out = []
+    for i in range(len(preds3)):
+        if int(valid_depth[i]) != 1:
+            continue
+        d = np.linalg.norm(np.asarray(preds3[i], np.float64)
+                           - np.asarray(targets3[i], np.float64), axis=-1)
+        out.append({'mpjpe': float(d.mean() * 1000.0),
+                    'pck': float((d < 0.5).mean())})
+    return out
+
+
+P0 = 0.8  # initial stub parameter
+
+
+class _RefStubModel(torch.nn.Module):
+    """out = input * p; 3D losses = per-joint euclidean via the reference's
+    own executed dsntnn; 2D losses = xy-only euclidean."""
+
+    data_specs = None
+
+    def __init__(self):
+        super().__init__()
+        self.p = torch.nn.Parameter(torch.tensor(P0))
+        self._dsntnn = sys.modules["margipose.dsntnn"]
+
+    def forward(self, x):
+        return x * self.p
+
+    def forward_3d_losses(self, out_var, target_var):
+        return self._dsntnn.euclidean_losses(out_var[..., :3], target_var)
+
+    def forward_2d_losses(self, out_var, target_var):
+        return self._dsntnn.euclidean_losses(
+            out_var[..., :2], target_var[..., :2])
+
+
+class _RefStubLoader:
+    """list-of-batches loader with the .dataset the reference pass needs."""
+
+    class _DS:
+        def __init__(self, n):
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+        def evaluate_3d_batch(self, batch, norm_preds):
+            return _stub_metrics(norm_preds.numpy()[..., :3],
+                                 np.asarray(batch['original_skel'])[..., :3],
+                                 batch['valid_depth'].numpy())
+
+    def __init__(self, np_batches):
+        self.batches = [{
+            'input': torch.from_numpy(b['input']),
+            'target': torch.from_numpy(b['target']),
+            'joint_mask': torch.from_numpy(b['joint_mask']),
+            'valid_depth': torch.from_numpy(b['valid_depth']),
+            'original_skel': b['original_skel'],
+        } for b in np_batches]
+        self.dataset = self._DS(sum(len(b['input']) for b in self.batches))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _run_reference_training(mod, np_train, np_val, epochs, lr=1.0):
+    """Drive the reference's ACTUAL sacred_main end-to-end; returns
+    (telemetry history, final parameter, run result, raw loss stream)."""
+    model = _RefStubModel()
+    train_loader = _RefStubLoader(np_train)
+    val_loader = _RefStubLoader(np_val) if np_val else None
+
+    raw_losses = []
+    orig_forward_loss = mod.forward_loss
+
+    def recording_forward_loss(*args, **kwargs):
+        loss = orig_forward_loss(*args, **kwargs)
+        raw_losses.append(float(loss.detach()))
+        return loss
+
+    reporters = []
+    orig_reporter = mod.Reporter
+
+    class CapturingReporter(orig_reporter):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            reporters.append(self)
+
+    saved = (mod.forward_loss, mod.create_model, mod.create_train_dataloader,
+             mod.create_val_dataloader, mod.Reporter, dict(mod.global_opts))
+
+    class _Run:
+        config = {}
+        result = None
+
+        def add_artifact(self, f):
+            pass
+
+    run = _Run()
+    try:
+        mod.forward_loss = recording_forward_loss
+        mod.create_model = lambda desc: model
+        mod.create_train_dataloader = lambda *a, **kw: train_loader
+        mod.create_val_dataloader = lambda *a, **kw: val_loader
+        mod.Reporter = CapturingReporter
+        mod.global_opts['device'] = 'cpu'
+
+        result = mod.sacred_main(
+            _run=run, seed=0, showoff=False, out_dir='', batch_size=4,
+            epochs=epochs, tags=[], model_desc={"type": "margipose",
+                                                "version": "6.0.1"},
+            experiment_id='t', weights=None,
+            train_examples=len(np_train) * 4, val_examples=len(np_val) * 4,
+            deterministic=False, train_datasets=['stub'],
+            val_datasets=(['stubval'] if np_val else []), lr=lr,
+            lr_milestones=None, lr_gamma=None, optim_algorithm='1cycle',
+            use_aug=True, preserve_root_joint_at_univ_scale=False)
+    finally:
+        (mod.forward_loss, mod.create_model, mod.create_train_dataloader,
+         mod.create_val_dataloader, mod.Reporter) = saved[:5]
+        mod.global_opts.clear()
+        mod.global_opts.update(saved[5])
+
+    assert len(reporters) == 1
+    return reporters[0].telemetry.history, float(model.p.detach()), result, \
+        raw_losses
+
+
+class _OurStubLoader:
+    class _DS:
+        def evaluate_3d_batch(self, batch, norm_preds):
+            vd = (batch['valid_depth_host'] if 'valid_depth_host' in batch
+                  else batch['valid_depth'])
+            return _stub_metrics(np.asarray(norm_preds)[..., :3],
+                                 np.asarray(batch['original_skel'])[..., :3],
+                                 np.asarray(vd))
+
+    def __init__(self, np_batches):
+        self.batches = np_batches
+        self.dataset = self._DS()
+
+    def __iter__(self):
+        return iter(dict(b) for b in self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _run_our_training(np_train, np_val, epochs, metrics_every=1, lr=1.0):
+    """Drive the rebuild's REAL do_training_pass / do_validation_pass with
+    its real meter registry and real optax 1cycle optimiser on an
+    equivalent one-parameter step. Returns (history, final p, result)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from margipose_tpu.bin.train_3d import do_training_pass, do_validation_pass
+    from margipose_tpu.ops.dsnt import average_loss, euclidean_losses
+    from margipose_tpu.train.meters import Telemetry, make_train_reporter
+    from margipose_tpu.train.schedules import make_optimiser
+    from margipose_tpu.train.steps import TrainState
+
+    total_iters = epochs * len(np_train)
+    opt = make_optimiser('1cycle', lr, max_iters=total_iters)
+
+    def loss_and_pred(params, batch):
+        target3 = batch['target'][..., :3]
+        out = batch['input'] * params['p']
+        l3 = euclidean_losses(out, target3)
+        l2 = euclidean_losses(out[..., :2], target3[..., :2])
+        losses = jnp.where((batch['valid_depth'] == 1)[:, None], l3, l2)
+        return average_loss(losses, batch['joint_mask']), out
+
+    @jax.jit
+    def train_step(state, batch):
+        (loss, pred), grads = jax.value_and_grad(
+            loss_and_pred, has_aux=True)(state.params, batch)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=state.batch_stats,
+                          opt_state=opt_state), {'loss': loss, 'pred': pred}
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        loss, pred = loss_and_pred(params, batch)
+        return {'loss': loss, 'pred': pred}
+
+    params = {'p': jnp.asarray(P0, jnp.float32)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={}, opt_state=opt.init(params))
+
+    tel = make_train_reporter(with_val=bool(np_val))
+    assert isinstance(tel, Telemetry)
+    tel.sinks.clear()  # history below replaces console output
+
+    history = []
+    cfg = {'metrics_every': metrics_every, 'prefetch_depth': 2,
+           'profile_steps': 0}
+    train_loader = _OurStubLoader(np_train)
+    val_loader = _OurStubLoader(np_val) if np_val else None
+    result = None
+    for epoch in range(epochs):
+        tel['epoch'].set_value(epoch)
+        state = do_training_pass(cfg, None, state, train_step, tel,
+                                 train_loader, None, None)
+        if val_loader is not None:
+            do_validation_pass(cfg, state, eval_step, tel, val_loader, None)
+        result = tel['train_pck'].value()
+        history.append({k: m.value() for k, m in tel.meters.items()})
+        tel.step()
+    return history, float(np.asarray(state.params['p'])), result
+
+
+def _column(history, key):
+    return [(snap[key][0] if isinstance(snap[key], tuple) else snap[key])
+            for snap in history]
+
+
+@pytest.mark.parametrize('metrics_every', [1, 3])
+def test_training_pass_accounting_matches_reference(ref_train_bin,
+                                                    metrics_every):
+    """Full multi-epoch training-pass parity on a mixed-2D/3D stream: the
+    per-epoch train_loss / val_loss / val_mpjpe / val_pck meter values, the
+    final parameter of the composed 1cycle+SGD trajectory, and the run
+    result all match the reference's executed sacred_main.
+
+    metrics_every=3 with 8 batches/epoch forces RAGGED drain windows
+    (sizes 1/3/3/1) — exactly the case where the rebuild's windowed
+    train_loss aggregation originally diverged from the reference's
+    per-batch mean."""
+    epochs, n_batches = 2, 8
+    np_train = _make_batches(n_batches, 4, seed=5, mixed_depth=True)
+    np_val = _make_batches(3, 4, seed=17, mixed_depth=True)
+
+    ref_hist, ref_p, ref_result, ref_losses = _run_reference_training(
+        ref_train_bin, np_train, np_val, epochs)
+    our_hist, our_p, our_result = _run_our_training(
+        np_train, np_val, epochs, metrics_every=metrics_every)
+
+    assert len(ref_hist) == len(our_hist) == epochs
+    assert len(ref_losses) == epochs * (n_batches + len(np_val))
+
+    np.testing.assert_allclose(_column(our_hist, 'train_loss'),
+                               _column(ref_hist, 'train_loss'),
+                               rtol=1e-5, atol=1e-7)
+    for key in ('val_loss', 'val_mpjpe', 'val_pck'):
+        np.testing.assert_allclose(_column(our_hist, key),
+                                   _column(ref_hist, key),
+                                   rtol=1e-5, atol=1e-7)
+    # the composed optimiser trajectories agree (torch SGD + reference
+    # 1cycle batch_step vs optax scheduled SGD) through the full pass
+    np.testing.assert_allclose(our_p, ref_p, rtol=1e-5, atol=1e-7)
+    if metrics_every == 1:
+        # run result = final epoch's train PCK (reference: train_3d.py:372);
+        # at metrics_every>1 the rebuild SAMPLES train metrics (documented
+        # divergence — host-side eval cost), so only full sampling compares
+        np.testing.assert_allclose(our_result, ref_result,
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_metrics_match_reference_at_full_sampling(ref_train_bin):
+    """With metrics_every=1 the rebuild scores every batch like the
+    reference does (reference: train_3d.py:169-177) and the train
+    mpjpe/pck meter values agree; predictions are scored PRE-update on
+    both sides (a post-update read would shift every metric)."""
+    epochs, n_batches = 1, 6
+    np_train = _make_batches(n_batches, 4, seed=23, mixed_depth=True)
+
+    ref_hist, _, _, _ = _run_reference_training(
+        ref_train_bin, np_train, [], epochs)
+    our_hist, _, _ = _run_our_training(np_train, [], epochs, metrics_every=1)
+
+    for key in ('train_mpjpe', 'train_pck'):
+        ref_v = _column(ref_hist, key)
+        our_v = _column(our_hist, key)
+        assert ref_v[0] is not None
+        np.testing.assert_allclose(our_v, ref_v, rtol=1e-5, atol=1e-7)
+
+
+def test_train_config_defaults_match_reference(ref_train_bin):
+    """The reference's config defaults and preset named configs equal the
+    rebuild's for every key both define (reference: train_3d.py:230-264)."""
+    from margipose_tpu.bin.train_3d import ex as ours
+
+    ref_cfg = dict(ref_train_bin.ex.config)
+    our_cfg = ours.parse([])
+    # train_datasets/val_datasets are NOT reference defaults (they come
+    # only from the mpi3d/h36m named configs, compared below)
+    shared = ['batch_size', 'epochs', 'lr', 'optim_algorithm',
+              'train_examples', 'val_examples', 'use_aug',
+              'preserve_root_joint_at_univ_scale', 'quick', 'out_dir',
+              'weights']
+    for key in shared:
+        assert key in ref_cfg, f"reference lost config key {key}"
+        assert our_cfg[key] == ref_cfg[key], (
+            f"{key}: rebuild={our_cfg[key]!r} reference={ref_cfg[key]!r}")
+
+    for preset in ('rmsprop', '1cycle', 'sgd_simple', 'mpi3d', 'h36m',
+                   'quick'):
+        ref_preset = ref_train_bin.ex.named_configs[preset]()
+        our_preset = ours.named_configs[preset]
+        for key, ref_val in ref_preset.items():
+            if key == 'tags':
+                continue
+            assert our_preset.get(key) == ref_val, (
+                f"preset {preset}.{key}: rebuild={our_preset.get(key)!r} "
+                f"reference={ref_val!r}")
