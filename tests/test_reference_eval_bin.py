@@ -520,7 +520,15 @@ def _run_reference_main(mod, argv, df, monkeypatch):
     monkeypatch.setattr(
         mod, 'tabulate',
         lambda frame, **kw: captured['tables'].append(frame) or '')
-    mod.main(argv, {'device': 'cpu'})
+    # The reference's main() flips the INTERPRETER-GLOBAL autograd switch
+    # (reference: src/margipose/bin/eval_3d.py:125); left off, it breaks any
+    # later torch-executing test in the same pytest process (the
+    # reference-training pins do real loss.backward() calls).
+    prev_grad = torch.is_grad_enabled()
+    try:
+        mod.main(argv, {'device': 'cpu'})
+    finally:
+        torch.set_grad_enabled(prev_grad)
     return captured
 
 

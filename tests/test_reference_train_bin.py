@@ -435,6 +435,11 @@ def _run_reference_training(mod, np_train, np_val, epochs, lr=1.0):
             pass
 
     run = _Run()
+    # Defend against interpreter-global autograd pollution: the reference's
+    # eval/infer/gui mains call torch.set_grad_enabled(False) (reference:
+    # src/margipose/bin/eval_3d.py:125), and its training assumes the
+    # default-enabled state — restore it before loss.backward() runs.
+    torch.set_grad_enabled(True)
     try:
         mod.forward_loss = recording_forward_loss
         mod.create_model = lambda desc: model
