@@ -303,9 +303,16 @@ def run_training(cfg: dict) -> dict:
             return device_renormalize(u8, ship_specs)
 
     # ---- Reporting ----
-    tel = make_train_reporter(with_val=val_loader is not None, out_dir=exp_out_dir)
-    if exp_out_dir:
-        with open(path.join(exp_out_dir, 'config.json'), 'w') as f:
+    # Multi-process runs share exp_out_dir (checkpoint saves are collective
+    # — orbax coordinates per-shard writes across processes), but the file
+    # sinks (metrics.jsonl, TensorBoard events), config.json, profiler
+    # traces and example-image grids are written by process 0 only: they
+    # carry no per-shard data and concurrent writers to the same files on a
+    # shared filesystem would corrupt them.
+    file_out_dir = exp_out_dir if jax.process_index() == 0 else None
+    tel = make_train_reporter(with_val=val_loader is not None, out_dir=file_out_dir)
+    if file_out_dir:
+        with open(path.join(file_out_dir, 'config.json'), 'w') as f:
             json.dump({k: v for k, v in cfg.items()}, f, indent=2, sort_keys=True,
                       default=str)
 
@@ -328,7 +335,7 @@ def run_training(cfg: dict) -> dict:
                 val_loader.set_epoch(epoch)
 
             state = do_training_pass(cfg, model, state, train_step, tel, train_loader,
-                                     data_sharding, exp_out_dir, aug_step=aug_step,
+                                     data_sharding, file_out_dir, aug_step=aug_step,
                                      ship_specs=ship_specs, renorm_step=renorm_step)
             if val_loader is not None:
                 do_validation_pass(cfg, state, eval_step, tel, val_loader, data_sharding,

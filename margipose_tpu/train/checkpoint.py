@@ -44,8 +44,31 @@ def _is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _sync(tag: str):
+    """Cross-process barrier (no-op single-process). Multi-host saves are
+    collective — every process calls orbax with its addressable shards —
+    but the directory swap and meta write are process-0-only and must not
+    race the other processes' save calls (or their subsequent restores)."""
+    if _is_multihost():
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def _write_and_swap(ckpt_dir: str, payload: dict, meta: dict):
-    """Serialise ``payload`` (host arrays) and swap it in crash-safely."""
+    """Serialise ``payload`` (host arrays) and swap it in crash-safely.
+
+    Multi-host: the orbax save is collective (all processes participate,
+    each writing only its addressable shards), while the stale-state
+    cleanup, directory swap and meta write run on process 0 only, fenced by
+    barriers — without the fence both processes would race the
+    ``state.next`` -> ``state`` rename (the second rename lands inside the
+    already-swapped directory or fails outright; caught by the real
+    2-process test in tests/test_multihost_real.py)."""
     import glob as _glob
     import shutil
 
@@ -53,21 +76,26 @@ def _write_and_swap(ckpt_dir: str, payload: dict, meta: dict):
     nxt = path.join(ckpt_dir, "state.next")
     old = path.join(ckpt_dir, "state.old")
     final = path.join(ckpt_dir, "state")
-    # stale leftovers from an interrupted save
-    shutil.rmtree(nxt, ignore_errors=True)
-    for stale in _glob.glob(path.join(ckpt_dir, "*.orbax-checkpoint-tmp*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    if _is_primary():
+        # stale leftovers from an interrupted save
+        shutil.rmtree(nxt, ignore_errors=True)
+        for stale in _glob.glob(path.join(ckpt_dir, "*.orbax-checkpoint-tmp*")):
+            shutil.rmtree(stale, ignore_errors=True)
+    _sync("margipose:ckpt:pre_save")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(nxt, payload)
-    shutil.rmtree(old, ignore_errors=True)
-    if path.isdir(final):
-        os.rename(final, old)
-    os.rename(nxt, final)
-    meta_tmp = path.join(ckpt_dir, "meta.json.tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
-    os.replace(meta_tmp, path.join(ckpt_dir, "meta.json"))
-    shutil.rmtree(old, ignore_errors=True)
+    _sync("margipose:ckpt:post_save")
+    if _is_primary():
+        shutil.rmtree(old, ignore_errors=True)
+        if path.isdir(final):
+            os.rename(final, old)
+        os.rename(nxt, final)
+        meta_tmp = path.join(ckpt_dir, "meta.json.tmp")
+        with open(meta_tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(meta_tmp, path.join(ckpt_dir, "meta.json"))
+        shutil.rmtree(old, ignore_errors=True)
+    _sync("margipose:ckpt:post_swap")
 
 
 class _BackgroundSave:
@@ -143,28 +171,42 @@ def _state_dir_with_fallback(ckpt_dir: str) -> str:
     return state_dir  # let orbax raise its not-found error
 
 
-def restore_checkpoint(ckpt_dir: str, template_state):
-    """Restore a full train state saved by ``save_checkpoint``."""
-    ckpt_dir = path.abspath(ckpt_dir)
+def _restore_numpy(directory: str, template, partial_restore: bool = False):
+    """Restore a pytree to HOST NUMPY regardless of how or where it was
+    saved. Left to its defaults, orbax restores jax.Arrays: (a) COMMITTED
+    to specific devices — mixed with mesh-sharded params the train step's
+    dispatch fails with "incompatible devices", and under multi-process,
+    re-placing a committed array onto the global mesh is a cross-host
+    transfer the CPU backend does not support; (b) using the sharding
+    recorded at SAVE time — unresolvable when the checkpoint was written
+    under a different process topology (loading a 2-process-saved
+    checkpoint in a single-process eval raises "sharding ... Got None").
+    Both caught by the real 2-process runs in tests/test_multihost_real.py.
+    Host-numpy leaves let every caller re-place onto its own mesh exactly
+    like a fresh state."""
     ocp = _ocp()
-    with ocp.StandardCheckpointer() as ckptr:
-        payload = {
-            "step": template_state.step,
-            "params": template_state.params,
-            "batch_stats": template_state.batch_stats,
-            "opt_state": template_state.opt_state,
-        }
-        restored = ckptr.restore(_state_dir_with_fallback(ckpt_dir), payload)
-    if not _is_multihost():
-        # orbax returns jax.Arrays COMMITTED to one device; a fresh state's
-        # leaves are uncommitted (jit-produced), letting the caller's mesh
-        # rebuild place them freely. Committed single-device leaves mixed
-        # with mesh-sharded params make the train step's dispatch fail with
-        # "incompatible devices", so return the leaves to host numpy and let
-        # the caller re-place them exactly like a fresh state. (Multi-host
-        # states stay as restored distributed arrays — each process only
-        # holds its addressable shards.)
-        restored = jax.tree.map(np.asarray, restored)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(
+            directory,
+            args=ocp.args.PyTreeRestore(item=template,
+                                        restore_args=restore_args,
+                                        partial_restore=partial_restore))
+
+
+def restore_checkpoint(ckpt_dir: str, template_state):
+    """Restore a full train state saved by ``save_checkpoint``. Leaves come
+    back as host numpy (see _restore_numpy); callers re-place them onto
+    their mesh exactly like a fresh state (bin/train_3d.py:252-257)."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    payload = {
+        "step": template_state.step,
+        "params": template_state.params,
+        "batch_stats": template_state.batch_stats,
+        "opt_state": template_state.opt_state,
+    }
+    restored = _restore_numpy(_state_dir_with_fallback(ckpt_dir), payload)
     return template_state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -186,8 +228,11 @@ def save_model(ckpt_dir: str, variables, model_desc: dict):
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path.join(ckpt_dir, "variables"),
                    _bulk_to_host(dict(variables)), force=True)
-    with open(path.join(ckpt_dir, "meta.json"), "w") as f:
-        json.dump({"model_desc": model_desc}, f, indent=2, sort_keys=True)
+    _sync("margipose:ckpt:post_save_model")
+    if _is_primary():
+        with open(path.join(ckpt_dir, "meta.json"), "w") as f:
+            json.dump({"model_desc": model_desc}, f, indent=2, sort_keys=True)
+    _sync("margipose:ckpt:post_meta_model")
 
 
 def load_model(model_file: str):
@@ -213,23 +258,17 @@ def load_model(model_file: str):
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
     )
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
-    ocp = _ocp()
     # saved either as full train state or variables-only
     state_dir = _state_dir_with_fallback(model_file)
     var_dir = path.join(model_file, "variables")
     if path.isdir(var_dir):
-        with ocp.StandardCheckpointer() as ckptr:
-            variables = ckptr.restore(var_dir, dict(template))
+        variables = _restore_numpy(var_dir, dict(template))
     else:
-        with ocp.PyTreeCheckpointer() as ckptr:
-            payload = ckptr.restore(
-                state_dir,
-                args=ocp.args.PyTreeRestore(
-                    item={"params": template["params"],
-                          "batch_stats": template["batch_stats"]},
-                    partial_restore=True,
-                ),
-            )
+        payload = _restore_numpy(
+            state_dir,
+            {"params": template["params"],
+             "batch_stats": template["batch_stats"]},
+            partial_restore=True)
         variables = {"params": payload["params"],
                      "batch_stats": payload["batch_stats"]}
     return model, variables, model_desc
