@@ -170,7 +170,32 @@ def _bench_serving(model, variables, batch, headline_prec):
     serve_ips, serve_occ = measure(runner)
     log(f"serve microbatcher ceiling [{headline_prec}]: batch {batch}, "
         f"{serve_ips:.1f} images/sec, mean occupancy {serve_occ:.1f}")
-    return serve_ips, serve_occ
+
+    # Self-description: the ceiling above regresses and recovers with the
+    # RELAY LINK, not with this repo's code (BASELINE.md "Serving
+    # microbatcher ceiling"). Re-measure the batcher alone against a stub
+    # runner (no device work at all): its per-batch overhead as a fraction
+    # of the real per-batch time tells a reader whether a changed
+    # serve_images_per_sec is a batcher regression (fraction grew) or relay
+    # weather (fraction still small).
+    stub_out = np.zeros((batch, 17, 3), np.float32)
+    stub_ips, _ = measure(lambda _u8: stub_out, n_timed=20)
+    overhead_ms = 1e3 * batch / stub_ips
+    real_ms = 1e3 * batch / serve_ips
+    overhead_frac = overhead_ms / real_ms
+    upload_mb_per_sec = serve_ips * 256 * 256 * 3 / 1e6  # uint8 frames
+    log(f"serve batcher stub overhead: {overhead_ms:.2f} ms/batch "
+        f"({overhead_frac:.1%} of the {real_ms:.1f} ms real batch); "
+        f"effective input upload {upload_mb_per_sec:.1f} MB/s")
+    return {
+        "ips": serve_ips,
+        "occupancy": serve_occ,
+        "batcher_overhead_frac": overhead_frac,
+        "upload_mb_per_sec": upload_mb_per_sec,
+        # link-bound when the batcher itself accounts for <20% of the
+        # per-batch time — the rest is device round-trip + input upload
+        "link_bound": overhead_frac < 0.2,
+    }
 
 
 def main():
@@ -276,6 +301,24 @@ def main():
         log(f"inference MFU [{headline_prec}]: {mfu:.3f} "
             f"(peak {peak / 1e12:.0f} TFLOP/s)")
 
+    # ---- batch-1 latency (the reference's primary published speed metric:
+    # median per-forward latency at batch 1 —
+    # reference: src/margipose/bin/eval_3d.py:60-62) ----
+    # Five independent FIFO drains of 20 enqueued forwards each; the
+    # reported figure is the MEDIAN of the five per-forward means, the
+    # FIFO-method analogue of the reference's median-of-per-batch-times
+    # (per-call host reads would measure the ~29 ms relay round-trip, not
+    # the device). Methodology note in BASELINE.md "Batch-1 latency".
+    im1 = images[:1]
+    t0 = time.perf_counter()
+    _sync(headline_forward(variables, im1))  # compiles the batch-1 shape
+    log(f"forward[b1,{headline_prec}] compile: {time.perf_counter() - t0:.1f}s")
+    b1_samples = sorted(_bench(headline_forward, (variables, im1), iters=20,
+                               warmup=1) for _ in range(5))
+    latency_b1_ms = 1e3 * b1_samples[2]
+    log(f"batch-1 latency [{headline_prec}]: median {latency_b1_ms:.2f} ms "
+        f"(samples {', '.join(f'{1e3 * s:.2f}' for s in b1_samples)})")
+
     # ---- training ----
     opt = make_optimiser("1cycle", lr=1.0, max_iters=1000)
     rnd = np.random.RandomState(1)
@@ -310,11 +353,10 @@ def main():
             f"{batch / t_train:.1f} images/sec")
 
     # ---- serving microbatcher ceiling (see _bench_serving docstring) ----
-    serve_ips = serve_occ = None
+    serve = None
     try:
         if on_tpu or os.environ.get("BENCH_SERVE") == "1":
-            serve_ips, serve_occ = _bench_serving(
-                model, variables, batch, headline_prec)
+            serve = _bench_serving(model, variables, batch, headline_prec)
     except Exception as e:
         # the serving segment is auxiliary: a relay stall mid-drain (the
         # link has documented multi-minute stalls) must not abort the bench
@@ -362,10 +404,22 @@ def main():
                                             train_ips.get("float32", 0.0))
                             / peak, 4)
                       if (flops_per_image and peak) else None),
+        # median per-forward latency at batch 1 — the reference's primary
+        # published speed metric (reference: src/margipose/bin/eval_3d.py:60-62)
+        "infer_latency_ms_b1": round(latency_b1_ms, 3),
         # microbatcher ceiling with host JPEG/HTTP work removed (see the
-        # serving segment above); None when the segment didn't run
-        "serve_images_per_sec": (round(serve_ips, 2) if serve_ips else None),
-        "serve_batch_occupancy": (round(serve_occ, 2) if serve_occ else None),
+        # serving segment above); None when the segment didn't run. The
+        # overhead fraction + link_bound marker make the figure
+        # self-describing: a regression with a still-small overhead
+        # fraction is relay weather, not a batcher regression.
+        "serve_images_per_sec": (round(serve["ips"], 2) if serve else None),
+        "serve_batch_occupancy": (round(serve["occupancy"], 2)
+                                  if serve else None),
+        "serve_batcher_overhead_frac": (round(serve["batcher_overhead_frac"], 4)
+                                        if serve else None),
+        "serve_upload_mb_per_sec": (round(serve["upload_mb_per_sec"], 1)
+                                    if serve else None),
+        "serve_link_bound": (serve["link_bound"] if serve else None),
     }), flush=True)
 
 
