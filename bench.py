@@ -82,7 +82,7 @@ def _bench(fn, args, iters=20, warmup=3):
     return max(total, 1e-9) / iters
 
 
-def _bench_serving(model, variables, batch, headline_prec):
+def _bench_serving(model, variables, batch, headline_prec, *, forward_ms):
     """Device-side ceiling of the REAL serving Microbatcher (bin/serve.py).
 
     BASELINE.md "Serving under concurrent load" measured the HTTP stack at
@@ -183,18 +183,23 @@ def _bench_serving(model, variables, batch, headline_prec):
     overhead_ms = 1e3 * batch / stub_ips
     real_ms = 1e3 * batch / serve_ips
     overhead_frac = overhead_ms / real_ms
+    forward_frac = forward_ms / real_ms
     upload_mb_per_sec = serve_ips * 256 * 256 * 3 / 1e6  # uint8 frames
     log(f"serve batcher stub overhead: {overhead_ms:.2f} ms/batch "
         f"({overhead_frac:.1%} of the {real_ms:.1f} ms real batch); "
+        f"raw device forward {forward_ms:.1f} ms ({forward_frac:.1%}); "
         f"effective input upload {upload_mb_per_sec:.1f} MB/s")
     return {
         "ips": serve_ips,
         "occupancy": serve_occ,
         "batcher_overhead_frac": overhead_frac,
+        "device_forward_frac": forward_frac,
         "upload_mb_per_sec": upload_mb_per_sec,
-        # link-bound when the batcher itself accounts for <20% of the
-        # per-batch time — the rest is device round-trip + input upload
-        "link_bound": overhead_frac < 0.2,
+        # link-bound = neither the batcher (<20%) nor the device forward
+        # (<50%) explains the per-batch time; the remainder is the host->
+        # device round-trip. On a local-PCIe host forward_frac ~1 and this
+        # correctly reads false even though the batcher is equally cheap.
+        "link_bound": overhead_frac < 0.2 and forward_frac < 0.5,
     }
 
 
@@ -271,6 +276,11 @@ def main():
             f"{batch / t:.1f} images/sec")
         if prec == headline_prec:
             headline_forward = forward
+            # raw device forward time at the SERVING batch size — the
+            # serving segment compares its per-batch wall time against
+            # this to tell link-bound from compute-bound (see
+            # _bench_serving)
+            serve_forward_ms = t * 1e3
             # throughput rose 32 -> 64 in round 3; probe one step further
             for b2 in (2 * batch, 4 * batch):
                 im2 = jnp.asarray(
@@ -356,7 +366,8 @@ def main():
     serve = None
     try:
         if on_tpu or os.environ.get("BENCH_SERVE") == "1":
-            serve = _bench_serving(model, variables, batch, headline_prec)
+            serve = _bench_serving(model, variables, batch, headline_prec,
+                                   forward_ms=serve_forward_ms)
     except Exception as e:
         # the serving segment is auxiliary: a relay stall mid-drain (the
         # link has documented multi-minute stalls) must not abort the bench
@@ -417,6 +428,8 @@ def main():
                                   if serve else None),
         "serve_batcher_overhead_frac": (round(serve["batcher_overhead_frac"], 4)
                                         if serve else None),
+        "serve_device_forward_frac": (round(serve["device_forward_frac"], 4)
+                                      if serve else None),
         "serve_upload_mb_per_sec": (round(serve["upload_mb_per_sec"], 1)
                                     if serve else None),
         "serve_link_bound": (serve["link_bound"] if serve else None),

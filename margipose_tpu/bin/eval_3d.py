@@ -360,6 +360,12 @@ def main(argv, common_opts):
         eval_sharding = batch_sharding(eval_mesh)
         variables = jax.device_put(variables, replicated_sharding(eval_mesh))
         print(f'Data-parallel eval over {n_dev} devices')
+    else:
+        # load_model returns host-numpy leaves (multi-host-safe restore);
+        # commit them on device ONCE — passed as jit arguments below, numpy
+        # leaves would re-upload the full model every batch (seconds/batch
+        # over the ~25 MB/s relay link)
+        variables = jax.device_put(variables)
 
     pixelwise_loss = model_desc['settings'].get('pixelwise_loss', 'jsd')
 

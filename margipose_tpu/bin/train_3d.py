@@ -166,6 +166,18 @@ def run_training(cfg: dict) -> dict:
 
     experiment_id = cfg['experiment_id'] or datetime.datetime.now().strftime(
         '%Y%m%d-%H%M%S%f')
+    if not cfg['experiment_id'] and jax.process_count() > 1:
+        # Each process just generated its OWN microsecond timestamp, but
+        # exp_out_dir must be shared: checkpoint saves are collective (the
+        # orbax multi-host branch in train/checkpoint.py writes one shard
+        # per process into ONE directory) — divergent ids would strand the
+        # non-primary shards in directories nobody swaps or restores. Take
+        # process 0's id everywhere.
+        from jax.experimental import multihost_utils
+
+        buf = np.frombuffer(experiment_id.encode().ljust(32), np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        experiment_id = bytes(buf).decode().strip()
     exp_out_dir = None
     if cfg['out_dir']:
         exp_out_dir = path.join(cfg['out_dir'], experiment_id)
@@ -374,6 +386,7 @@ def run_training(cfg: dict) -> dict:
         raise
     _join_final_save(save_thread, in_flight=False)
 
+    result['experiment_id'] = experiment_id
     return result
 
 
@@ -466,8 +479,11 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
         # ragged (the i % metrics_every == 0 drain and the tail)
         tel['train_loss'].add(float(losses.mean()), len(losses))
         if not first_window:
-            tel['step_time'].add(dt / len(pending_losses))
-            tel['train_images_per_sec'].add(window_images / max(dt, 1e-9))
+            # same window-length weighting as train_loss: the epoch value
+            # must be the mean over STEPS, and the tail window is ragged
+            tel['step_time'].add(dt / len(pending_losses), len(pending_losses))
+            tel['train_images_per_sec'].add(window_images / max(dt, 1e-9),
+                                            len(pending_losses))
         first_window = False
         pending_losses.clear()
         window_t0 = time.perf_counter()

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Experiment: per-compile XLA ``compiler_options`` on the TPU train step.
+"""Experiment: per-compile XLA ``compiler_options`` on the TPU hot graphs.
 
 BASELINE.md's train-MFU irreducibility record rested on "server-side XLA
 scheduling flags are unreachable — the axon client rejects XLA_FLAGS" (the
@@ -7,17 +7,19 @@ scheduling flags are unreachable — the axon client rejects XLA_FLAGS" (the
 scheduling). Round 4 proved this jaxlib DOES accept per-compile
 ``compiler_options`` (__graft_entry__.py uses them for CPU collective
 timeouts); this script closes the last untried avenue by compiling the
-flagship bf16 train step with candidate scheduler / fusion / memory-space-
-assignment DebugOptions and FIFO-timing each variant against the stock
-compile, interleaved to cancel link drift.
+flagship bf16 train step — or, with ``--target infer``, the headline
+inference forward at its winning batch — with candidate scheduler / fusion
+/ memory-space-assignment DebugOptions and FIFO-timing each variant against
+the stock compile, interleaved to cancel link drift.
 
-Usage (real chip): python scripts/exp_compiler_options.py
+Usage (real chip): python scripts/exp_compiler_options.py [--target infer]
 Results are appended to BASELINE.md by hand; see "Round-5 compiler_options
 experiment".
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -27,6 +29,7 @@ REPO = path.dirname(path.dirname(path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BATCH = 32
+INFER_BATCH = 64  # bench.py's winning headline batch (BASELINE.md)
 ITERS = 10
 ROUNDS = 3
 
@@ -55,6 +58,10 @@ def log(msg):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", choices=("train", "infer"), default="train")
+    args = ap.parse_args()
+
     from margipose_tpu._cache import enable_compile_cache
 
     enable_compile_cache(REPO)
@@ -67,30 +74,44 @@ def main():
 
     from margipose_tpu.models import Default_MargiPose_Desc, create_model
     from margipose_tpu.train.schedules import make_optimiser
-    from margipose_tpu.train.steps import create_train_state, make_train_step
+    from margipose_tpu.train.steps import (
+        create_train_state,
+        make_forward_fn,
+        make_train_step,
+    )
 
     model = create_model(Default_MargiPose_Desc)
     rng = jax.random.PRNGKey(0)
     opt = make_optimiser("1cycle", lr=1.0, max_iters=1000)
 
     rnd = np.random.RandomState(1)
-    batch = {
-        "input": jnp.asarray(rnd.randn(BATCH, 256, 256, 3), jnp.float32),
-        "target": jnp.asarray(rnd.uniform(-0.9, 0.9, (BATCH, 17, 3)),
-                              jnp.float32),
-        "joint_mask": jnp.ones((BATCH, 17), np.float32),
-        "valid_depth": jnp.ones((BATCH,), jnp.int32),
-    }
-
-    # donate=False so ONE state feeds every variant (no state chaining);
-    # relative step times are what matters and all variants share the
-    # donation behaviour.
-    step = make_train_step(model, opt, donate=False, compute_dtype="bfloat16")
-    lowered = step.lower(
-        create_train_state(model, rng, opt, input_shape=(1, 256, 256, 3)),
-        batch)
     state = create_train_state(model, rng, opt, input_shape=(1, 256, 256, 3))
     jax.block_until_ready(state.params)
+
+    if args.target == "train":
+        batch = {
+            "input": jnp.asarray(rnd.randn(BATCH, 256, 256, 3), jnp.float32),
+            "target": jnp.asarray(rnd.uniform(-0.9, 0.9, (BATCH, 17, 3)),
+                                  jnp.float32),
+            "joint_mask": jnp.ones((BATCH, 17), np.float32),
+            "valid_depth": jnp.ones((BATCH,), jnp.int32),
+        }
+        # donate=False so ONE state feeds every variant (no state chaining);
+        # relative step times are what matters and all variants share the
+        # donation behaviour.
+        step = make_train_step(model, opt, donate=False,
+                               compute_dtype="bfloat16")
+        fn_args = (state, batch)
+        lowered = step.lower(*fn_args)  # lower() reads avals only
+    else:
+        # the headline metric's exact graph: bench.py's bf16 forward at the
+        # winning batch size
+        images = jnp.asarray(
+            rnd.randn(INFER_BATCH, 256, 256, 3), jnp.float32)
+        forward = make_forward_fn(model, compute_dtype="bfloat16")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn_args = (variables, images)
+        lowered = forward.lower(*fn_args)
 
     compiled = {}
     for name, opts in [("baseline", None)] + list(CANDIDATES.items()):
@@ -103,33 +124,17 @@ def main():
             log(f"compile[{name}]: REJECTED ({type(e).__name__}: "
                 f"{str(e)[:160]})")
 
-    def sync(out):
-        return float(jax.tree.leaves(out)[0].reshape(-1)[0])
+    # bench.py's FIFO methodology (calibrated relay read latency, one
+    # scalar read per timed drain) — imported, not re-implemented, so a
+    # future timing-bias fix there propagates here
+    from bench import _bench, _read_latency
 
-    # measured relay read latency (bench.py methodology)
-    x = jnp.zeros((8,))
-    sync(x + 1.0)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        sync(x + 1.0)
-    read_lat = (time.perf_counter() - t0) / 5
-    log(f"read latency: {read_lat * 1e3:.1f} ms")
-
-    def bench(fn):
-        out = None
-        for _ in range(2):
-            out = fn(state, batch)
-        sync(out[1]["loss"])
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(state, batch)
-        sync(out[1]["loss"])
-        return (time.perf_counter() - t0 - read_lat) / ITERS
+    _read_latency()  # calibrate before any timed drain
 
     times = {name: [] for name in compiled}
     for r in range(ROUNDS):
         for name, fn in compiled.items():
-            dt = bench(fn)
+            dt = _bench(fn, fn_args, iters=ITERS, warmup=2)
             times[name].append(dt)
             log(f"round {r} {name}: {dt * 1e3:.2f} ms/step")
 

@@ -12,23 +12,8 @@ cd "$(dirname "$0")/.."
 DATA=${SOAK_DATA:-/tmp/soak_data}
 OUT=${SOAK_OUT:-/tmp/soak_out}
 
-if [ ! -d "$DATA/mpi3d/train" ]; then
-  python - <<'EOF'
-import os
-from margipose_tpu.data.fake_mpi3d import generate_fake_mpi3d
-from margipose_tpu.data.fakes import generate_fake_mpii
-
-base = os.environ.get('SOAK_DATA', '/tmp/soak_data')
-# larger than the test fakes so 150 epochs see some variety
-generate_fake_mpi3d(os.path.join(base, 'mpi3d', 'train'),
-                    seqs=((1, 1), (2, 1)), camera_ids=(0, 2), n_frames=6)
-generate_fake_mpi3d(os.path.join(base, 'mpi3d', 'val'),
-                    seqs=((3, 1),), camera_ids=(0,), n_frames=4, seed=1)
-generate_fake_mpii(os.path.join(base, 'mpii'), n_train=16, n_val=4,
-                   img_size=512)
-print('soak corpus at', base)
-EOF
-fi
+# shared idempotent corpus recipe — see scripts/make_soak_corpus.py
+SOAK_DATA="$DATA" python scripts/make_soak_corpus.py
 
 rm -rf "$OUT"
 MARGIPOSE_BASE_DATA_DIR="$DATA" ./run.sh train with margipose_model 1cycle \

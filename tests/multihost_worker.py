@@ -140,16 +140,23 @@ def run_bin(out_dir: str) -> dict:
         'with', 'synthetic', 'sgd_simple',
         f'out_dir={out_dir}', 'batch_size=8',
         'train_examples=16', 'val_examples=8', 'lr=0.02',
-        'num_workers=0', 'metrics_every=1', 'experiment_id=mh',
+        'num_workers=0', 'metrics_every=1',
         "model_desc={'type': 'margipose', 'version': '6.0.1', "
         "'settings': {'n_stages': 1, 'feature_extractor': 'resnet18', "
         "'input_size': 96}}",
         'train_datasets=["synthetic-16"]', 'val_datasets=["synthetic-8"]',
         'use_aug=False',
     ]
+    # Run 1 deliberately omits experiment_id: each process generates its own
+    # timestamp and run_training must broadcast process 0's so the collective
+    # checkpoint save targets ONE directory (train_3d.py experiment_id
+    # broadcast). The resume run pins the id so metrics.jsonl continues in
+    # the same experiment directory.
     result1 = run_training(ex.parse(base + ['epochs=1']))
-    ckpt_dir = os.path.join(out_dir, 'mh', 'model-latest')
-    result2 = run_training(ex.parse(base + ['epochs=2', f'resume={ckpt_dir}']))
+    exp_id = result1['experiment_id']
+    ckpt_dir = os.path.join(out_dir, exp_id, 'model-latest')
+    result2 = run_training(ex.parse(
+        base + ['epochs=2', f'resume={ckpt_dir}', f'experiment_id={exp_id}']))
     return {'result1': result1, 'result2': result2, 'ckpt_dir': ckpt_dir}
 
 

@@ -128,7 +128,11 @@ def test_real_two_process_train_bin_and_resume(tmp_path):
         assert np.isfinite(r['result2']['train_mpjpe'])
         assert 0.0 <= r['result2']['train_pck'] <= 1.0
 
-    exp = tmp_path / 'train_out' / 'mh'
+    # run 1 omitted experiment_id: both processes must have agreed on
+    # process 0's broadcast timestamp (divergent ids would strand the
+    # non-primary checkpoint shards in a directory nobody swaps)
+    assert r0['ckpt_dir'] == r1['ckpt_dir'], (r0['ckpt_dir'], r1['ckpt_dir'])
+    exp = tmp_path / 'train_out' / r0['result1']['experiment_id']
     assert load_meta(str(exp / 'model-latest'))['epoch'] == 2
     # process-0-only file sinks: one metrics line per epoch, not one per
     # process per epoch; config.json written once without interleaving

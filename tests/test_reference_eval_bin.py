@@ -67,34 +67,7 @@ class _Meter:
         return (np.mean(self.values), None) if self.values else (None, None)
 
 
-def _pose3d_coords_shim():
-    """The same 3-line homogeneous-coordinate helpers as
-    test_reference_parity._pose3d_coords_shim (torch)."""
-    m = types.ModuleType("pose3d_utils.coords")
-
-    def cartesian_to_homogeneous(cart):
-        return torch.cat([cart, torch.ones_like(cart[..., :1])], -1)
-
-    def homogeneous_to_cartesian(hom):
-        return hom[..., :-1] / hom[..., -1:]
-
-    def ensure_homogeneous(coords, d):
-        if coords.size(-1) == d + 1:
-            return coords
-        assert coords.size(-1) == d
-        return cartesian_to_homogeneous(coords)
-
-    def ensure_cartesian(coords, d):
-        if coords.size(-1) == d:
-            return coords
-        assert coords.size(-1) == d + 1
-        return homogeneous_to_cartesian(coords)
-
-    m.cartesian_to_homogeneous = cartesian_to_homogeneous
-    m.homogeneous_to_cartesian = homogeneous_to_cartesian
-    m.ensure_homogeneous = ensure_homogeneous
-    m.ensure_cartesian = ensure_cartesian
-    return m
+from reference_shims import pose3d_coords_shim as _pose3d_coords_shim  # noqa: E402
 
 
 @pytest.fixture(scope="module")

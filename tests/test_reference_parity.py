@@ -60,38 +60,7 @@ def _load_reference_module(name):
     return module
 
 
-def _pose3d_coords_shim():
-    """Minimal torch implementation of the three ``pose3d_utils.coords``
-    helpers the reference's eval.py / data/skeleton.py import. These are
-    3-line coordinate conversions (append/divide-out the homogeneous w);
-    everything of numeric substance in the modules under test (metrics,
-    Procrustes alignment, skeleton algebra) is the reference's OWN code.
-    """
-    m = types.ModuleType("pose3d_utils.coords")
-
-    def cartesian_to_homogeneous(cart):
-        return torch.cat([cart, torch.ones_like(cart[..., :1])], -1)
-
-    def homogeneous_to_cartesian(hom):
-        return hom[..., :-1] / hom[..., -1:]
-
-    def ensure_homogeneous(coords, d):
-        if coords.size(-1) == d + 1:
-            return coords
-        assert coords.size(-1) == d
-        return cartesian_to_homogeneous(coords)
-
-    def ensure_cartesian(coords, d):
-        if coords.size(-1) == d:
-            return coords
-        assert coords.size(-1) == d + 1
-        return homogeneous_to_cartesian(coords)
-
-    m.cartesian_to_homogeneous = cartesian_to_homogeneous
-    m.homogeneous_to_cartesian = homogeneous_to_cartesian
-    m.ensure_homogeneous = ensure_homogeneous
-    m.ensure_cartesian = ensure_cartesian
-    return m
+from reference_shims import pose3d_coords_shim as _pose3d_coords_shim  # noqa: E402
 
 
 @pytest.fixture(scope="module")
