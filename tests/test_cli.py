@@ -346,6 +346,11 @@ def test_eval_cli_data_parallel_matches_single_device(trained_ckpt, capsys):
     m1 = overall_mpjpe(base)
     m8 = overall_mpjpe(base + ['--num-devices', '8'])
     assert abs(m1 - m8) < 1e-3, (m1, m8)
+    # the TRUE single-device branch (the default above sees all 8 virtual
+    # devices): load_model returns host-numpy leaves and eval must commit
+    # them on device once rather than re-uploading per batch
+    m1dev = overall_mpjpe(base + ['--num-devices', '1'])
+    assert abs(m1 - m1dev) < 1e-3, (m1, m1dev)
 
 
 def test_eval_cli_ship_auto_is_parity_safe(trained_ckpt, capsys):

@@ -162,6 +162,13 @@ def test_checkpoint_roundtrip(tmp_path):
     assert desc2 == desc
     c = jax.tree.leaves(variables['params'])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(c))
+    # contract: load_model returns HOST-NUMPY leaves (multi-host-safe —
+    # orbax-committed arrays cannot be re-placed across process meshes);
+    # callers that pass variables as per-call jit arguments (bin/eval_3d)
+    # must device_put them once or every batch re-uploads the weights
+    assert all(isinstance(leaf, np.ndarray)
+               for leaf in jax.tree.leaves(variables)), (
+        'load_model must return host-numpy leaves')
 
 
 def test_checkpoint_interrupted_save_fallback(tmp_path):
