@@ -479,11 +479,14 @@ def do_training_pass(cfg, model, state, train_step, tel, loader, data_sharding,
         # ragged (the i % metrics_every == 0 drain and the tail)
         tel['train_loss'].add(float(losses.mean()), len(losses))
         if not first_window:
-            # same window-length weighting as train_loss: the epoch value
-            # must be the mean over STEPS, and the tail window is ragged
+            # window-length weighting makes step_time total-time/total-steps
+            # and DURATION weighting makes images_per_sec a ratio-of-sums
+            # (sum(rate*dt)/sum(dt) = total images / total time) — a
+            # step-weighted mean of rates would overstate epoch throughput
+            # whenever windows are ragged (stalls, tails)
             tel['step_time'].add(dt / len(pending_losses), len(pending_losses))
             tel['train_images_per_sec'].add(window_images / max(dt, 1e-9),
-                                            len(pending_losses))
+                                            max(dt, 1e-9))
         first_window = False
         pending_losses.clear()
         window_t0 = time.perf_counter()

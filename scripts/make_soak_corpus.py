@@ -11,6 +11,10 @@ touching anything if the corpus already exists.
 import os
 import sys
 
+# script execution puts scripts/ (not the repo root) at sys.path[0] and
+# margipose_tpu is not pip-installed here
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 base = os.environ.get('SOAK_DATA', '/tmp/soak_data')
 if os.path.isdir(os.path.join(base, 'mpi3d', 'train')):
     print(f'soak corpus already at {base}')
